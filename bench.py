@@ -1,0 +1,118 @@
+"""Benchmark: MPC planning-step latency on the BASELINE.json flagship config.
+
+Pendulum-shaped problem — horizon 15, 300 stored GP points (padded to the
+384 bucket), Ns=3, Na=1, reference pendulum optimizer budget (L-BFGS-B
+maxiter/maxcor/maxls=4, 1 restart; examples/pendulum/config_pendulum.py:80-84).
+One planning step = masked Cholesky factorization + full moment-matched
+rollout under L-BFGS with autodiff — everything in one device call.
+
+Prints ONE JSON line:
+  {"metric": "planning_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": N/100}
+vs_baseline is relative to the BASELINE.json north-star target of 100
+planning steps/s on one v5e chip (the reference publishes no wall-clock
+numbers at all — README.md:288-292 explicitly disclaims latency).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    # fast-math mode for the benchmark: f32 unless overridden. The f64 path
+    # is for parity; the perf story is f32 (TPU MXU native).
+    os.environ.setdefault("GPMPC_TPU_X64", "0")
+
+    import jax
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.controllers.planner import PlanSpec, build_plan_fn
+    from gpmpc_tpu.mappers.action import ActionMapperSpec
+    from gpmpc_tpu.mappers.reward import RewardSpec
+    from gpmpc_tpu.models.gp import GPBounds, params_from_constrained
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    ns, na, nh = 3, 1, 15
+    n_points, bucket = 300, 384
+    d = ns + na
+    restarts = 1
+    rng = np.random.default_rng(0)
+
+    reward_spec = RewardSpec(
+        target_state_action_norm=jnp.asarray([1.0, 0.5, 0.5, 0.5], dtype=dtype),
+        weight_matrix_cost=jnp.asarray(np.diag([1.0, 0.1, 0.1, 1e-3]), dtype=dtype),
+        target_state_norm=jnp.asarray([1.0, 0.5, 0.5], dtype=dtype),
+        weight_matrix_cost_terminal=jnp.asarray(np.diag([5.0, 2.0, 2.0]), dtype=dtype),
+        use_constraints=False,
+        state_min=jnp.zeros(ns, dtype=dtype),
+        state_max=jnp.ones(ns, dtype=dtype),
+        area_multiplier=1.0,
+        exploration_factor=1.0,
+        clip_lower_bound_cost_to_0=False,
+    )
+    action_spec = ActionMapperSpec(
+        limit_action_change=False, max_change_action_norm=jnp.asarray([0.3], dtype=dtype), len_horizon=nh, dim_action=na
+    )
+    spec = PlanSpec(
+        reward=reward_spec, action=action_spec, include_time_model=False,
+        len_horizon=nh, dim_action=na, dim_state=ns, maxiter=4, maxcor=4, maxls=4,
+    )
+    bounds = GPBounds(
+        min_lengthscale=jnp.full((ns, d), 4e-3, dtype=dtype),
+        max_lengthscale=jnp.full((ns, d), 10.0, dtype=dtype),
+        min_outputscale=jnp.full((ns,), 1e-2, dtype=dtype),
+        max_outputscale=jnp.full((ns,), 0.95, dtype=dtype),
+        min_noise=jnp.full((ns,), 1e-6, dtype=dtype),
+        max_noise=jnp.full((ns,), 1e-4, dtype=dtype),
+    )
+    params = params_from_constrained(
+        jnp.full((ns, d), 0.5, dtype=dtype), jnp.full((ns,), 5e-2, dtype=dtype), jnp.full((ns,), 1e-5, dtype=dtype), bounds
+    )
+
+    # synthetic pendulum-like memory, padded to the bucket
+    x = np.zeros((bucket, d))
+    y = np.zeros((bucket, ns))
+    mask = np.zeros((bucket,), dtype=bool)
+    x[:n_points] = rng.uniform(0, 1, (n_points, d))
+    y[:n_points] = rng.normal(0, 0.02, (n_points, ns))
+    mask[:n_points] = True
+
+    x, y, mask = jnp.asarray(x, dtype=dtype), jnp.asarray(y, dtype=dtype), jnp.asarray(mask)
+    state_mu = jnp.asarray(rng.uniform(0, 1, ns), dtype=dtype)
+    state_var = jnp.eye(ns, dtype=dtype) * 1e-6
+    inits = jnp.asarray(rng.uniform(0, 1, (restarts, nh * na)), dtype=dtype)
+    action_prev = jnp.asarray([0.5], dtype=dtype)
+
+    plan = build_plan_fn(spec)
+
+    # warmup/compile
+    out = plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)
+    jax.block_until_ready(out)
+
+    # steady-state timing
+    iters = 50
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, i)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    steps_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "planning_steps_per_sec",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

