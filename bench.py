@@ -27,6 +27,9 @@ def main():
     os.environ.setdefault("GPMPC_TPU_X64", "0")
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gpmpc_tpu.controllers.planner import PlanSpec, build_plan_fn

@@ -351,6 +351,31 @@ class GpMpcController:
             self.info_iters.setdefault(key, []).append(copy.deepcopy(val))
 
     # ------------------------------------------------------------------
+    def save_state(self):
+        """Controller state snapshot (reference save_state, gp_model.py:308-315 —
+        extended to full controller state for real resume)."""
+        from ..utils.checkpoint import controller_state_dict
+
+        return controller_state_dict(self)
+
+    def restore_state(self, state) -> None:
+        from ..utils.checkpoint import load_controller_state
+
+        load_controller_state(self, state)
+
+    def save_checkpoint(self, path: str) -> str:
+        """Persist to disk (.npz) — new capability vs the reference
+        (SURVEY.md §5.4: nothing persisted except plots)."""
+        from ..utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(self, path)
+
+    def restore_checkpoint(self, path: str) -> None:
+        from ..utils.checkpoint import restore_checkpoint
+
+        restore_checkpoint(self, path)
+
+    # ------------------------------------------------------------------
     def get_hyperparameters(self):
         """Constrained (lengthscales, outputscales, noise variances)."""
         from ..models.gp import constrained_params

@@ -81,6 +81,14 @@ def _line_search(
 ):
     """Backtracking Armijo search with box clipping of each trial point.
 
+    All maxls candidate steps (1, 1/2, 1/4, ...) are evaluated in ONE
+    batched (vmapped) objective call and the first Armijo-accepting step is
+    selected — identical semantics to sequential backtracking (which stops
+    at the first accept), but a single device round per L-BFGS iteration
+    instead of up to maxls sequential value_and_grad evaluations. On a TPU
+    this converts the latency-bound trial chain into MXU-friendly batched
+    work.
+
     Returns (x_new, f_new, g_new, success). On total failure keeps x.
     """
 
@@ -89,34 +97,21 @@ def _line_search(
             return z
         return jnp.clip(z, lower, upper)
 
-    def cond(carry):
-        step, nls, done, *_ = carry
-        return jnp.logical_and(~done, nls < maxls)
+    dtype = x.dtype
+    steps = (0.5 ** jnp.arange(maxls, dtype=dtype))  # (maxls,) : 1, 1/2, 1/4, ...
+    x_trials = jax.vmap(lambda s: project(x + s * direction))(steps)  # (maxls, n)
+    f_trials, g_trials = jax.vmap(vg)(x_trials)  # (maxls,), (maxls, n)
 
-    def body(carry):
-        step, nls, done, xb, fb, gb, ok = carry
-        x_try = project(x + step * direction)
-        f_try, g_try = vg(x_try)
-        # Armijo on the actually-taken (projected) step
-        decrease = jnp.dot(g, x_try - x)
-        accept = jnp.logical_and(jnp.isfinite(f_try), f_try <= f + _ARMIJO_C1 * decrease)
-        # also require an actual descent when decrease ~ 0 at bounds
-        accept = jnp.logical_and(accept, f_try < f)
-        xb = jnp.where(accept, x_try, xb)
-        fb = jnp.where(accept, f_try, fb)
-        gb = jnp.where(accept, g_try, gb)
-        return step * 0.5, nls + 1, accept, xb, fb, gb, jnp.logical_or(ok, accept)
+    decrease = x_trials @ g - jnp.dot(x, g)  # (maxls,) = g . (x_try - x)
+    accept = jnp.isfinite(f_trials) & (f_trials <= f + _ARMIJO_C1 * decrease) & (f_trials < f)
+    success = jnp.any(accept)
+    # index of the FIRST accepting step (largest step size)
+    first = jnp.argmax(accept)  # argmax of bool picks first True
+    idx = jnp.where(success, first, 0)
 
-    init = (
-        jnp.asarray(1.0, dtype=x.dtype),
-        jnp.asarray(0, dtype=jnp.int32),
-        jnp.asarray(False),
-        x,
-        f,
-        g,
-        jnp.asarray(False),
-    )
-    _, _, _, x_new, f_new, g_new, success = lax.while_loop(cond, body, init)
+    x_new = jnp.where(success, x_trials[idx], x)
+    f_new = jnp.where(success, f_trials[idx], f)
+    g_new = jnp.where(success, g_trials[idx], g)
     return x_new, f_new, g_new, success
 
 

@@ -1,0 +1,381 @@
+"""Fully on-device online-learning episodes.
+
+The reference's outer loop (run_env_function.py:14-49) steps the env on the
+host and crosses into torch/SciPy for every planning step; its multi-run
+evaluation (``run_env_multiple``) is a serial host loop. Here the ENTIRE
+episode — warmup randomization, MPC planning (factorize + moment-matched
+rollout + box-L-BFGS), the storage-filtered transition memory, periodic MLL
+hyperparameter training, and the environment dynamics themselves — is one
+``lax.scan`` compiled to a single XLA program. ``run_episodes_batch`` vmaps
+it over seeds, so a 10-seed evaluation sweep costs about one episode of
+wall-clock on a TPU.
+
+Semantics follow the host controller (controllers/controller.py) which in
+turn mirrors the reference (SURVEY.md §2): planning only on
+``t % num_repeat_actions == 0`` with cached-action replay in between; warmup
+steps take uniform-random action sequences but still roll the model forward
+for the memory filter's prediction; training fires when
+``(t+1) % training_frequency == 0`` (synchronous here — the scan body is
+already on-device, so there is no host latency to hide).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config.configs import Config
+from ..controllers.lbfgs import lbfgs_b_minimize
+from ..controllers.planner import PlanSpec, _objective_and_info
+from ..envs.jax_dynamics import JaxEnvSpec
+from ..mappers.action import ActionMapperSpec, mpc_to_model_actions
+from ..mappers.reward import RewardSpec, reward_single
+from ..models.gp import (
+    GPBounds,
+    GPParams,
+    TrainConfigDevice,
+    masked_cholesky_factorize,
+    params_from_constrained,
+    train_hyperparams,
+)
+
+
+class MemoryState(NamedTuple):
+    """Fixed-capacity device-resident transition memory (see
+    memory/buffer.py for the host twin and semantics provenance)."""
+
+    inputs: jnp.ndarray  # (cap, D)
+    states_next: jnp.ndarray  # (cap, Ns)
+    flags: jnp.ndarray  # (cap,) storage-filter decisions
+    model_inputs: jnp.ndarray  # (cap, D)
+    model_targets: jnp.ndarray  # (cap, Ns)
+    len_mem: jnp.ndarray  # i32
+    len_last: jnp.ndarray  # i32
+    len_model: jnp.ndarray  # i32
+
+
+def memory_init(cap: int, d: int, ns: int, dtype) -> MemoryState:
+    return MemoryState(
+        inputs=jnp.zeros((cap, d), dtype),
+        states_next=jnp.zeros((cap, ns), dtype),
+        flags=jnp.zeros((cap,), bool),
+        model_inputs=jnp.zeros((cap, d), dtype),
+        model_targets=jnp.zeros((cap, ns), dtype),
+        len_mem=jnp.zeros((), jnp.int32),
+        len_last=jnp.zeros((), jnp.int32),
+        len_model=jnp.zeros((), jnp.int32),
+    )
+
+
+def memory_add(mem: MemoryState, x_row, s_next, store_flag) -> MemoryState:
+    i = mem.len_mem
+    return mem._replace(
+        inputs=mem.inputs.at[i].set(x_row),
+        states_next=mem.states_next.at[i].set(s_next),
+        flags=mem.flags.at[i].set(store_flag),
+        len_mem=i + 1,
+    )
+
+
+def memory_prepare(mem: MemoryState, step_model: int, ns: int) -> MemoryState:
+    """Materialize model inputs/targets from unprocessed rows (masked scatter
+    equivalent of gp_memory.py:66-83; targets y_i = s_next[i+k-1] - s[i])."""
+    cap = mem.inputs.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    elig = (
+        (idx % step_model == 0)
+        & (idx >= mem.len_last)
+        & (idx < mem.len_mem)
+        & mem.flags
+        & (idx + step_model - 1 < mem.len_mem)
+    )
+    offs = jnp.cumsum(elig.astype(jnp.int32)) - 1
+    pos = jnp.where(elig, mem.len_model + offs, cap)  # cap = dropped
+    tgt_idx = jnp.minimum(idx + step_model - 1, cap - 1)
+    targets = mem.states_next[tgt_idx] - mem.inputs[:, :ns]
+    return mem._replace(
+        model_inputs=mem.model_inputs.at[pos].set(mem.inputs, mode="drop"),
+        model_targets=mem.model_targets.at[pos].set(targets, mode="drop"),
+        len_model=(mem.len_model + jnp.sum(elig.astype(jnp.int32))).astype(jnp.int32),
+        len_last=mem.len_mem,
+    )
+
+
+def memory_active_mask(mem: MemoryState) -> jnp.ndarray:
+    cap = mem.inputs.shape[0]
+    # empty memory -> single dummy zero point (gp_memory.py:109-111);
+    # model buffers are zero-initialized so row 0 is exactly that point.
+    n = jnp.maximum(mem.len_model, 1)
+    return jnp.arange(cap, dtype=jnp.int32) < n
+
+
+class EpisodeSpec(NamedTuple):
+    """Everything static about the episode, baked into the jitted scan."""
+
+    env: JaxEnvSpec
+    plan: PlanSpec
+    bounds: GPBounds
+    train_cfg: TrainConfigDevice
+    obs_var_norm_diag: jnp.ndarray  # (Ns,)
+    thr_err: jnp.ndarray  # (Ns,)
+    thr_std: jnp.ndarray  # (Ns,)
+    check_storage: bool
+    num_steps: int
+    warmup: int
+    cap: int
+    num_repeat_actions: int
+    training_frequency: int
+    restarts_optim: int
+    init_from_previous_actions: bool
+    include_time_model: bool
+    dtype: object
+
+
+def episode_spec_from_config(env: JaxEnvSpec, config: Config, num_steps: int, warmup: int, cap=None) -> Tuple[EpisodeSpec, GPParams]:
+    dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+    ns = len(env.obs_low)
+    na = len(env.act_low)
+    d = ns + na + (1 if config.model.include_time_model else 0)
+    if cap is None:
+        cap = max(32, int(np.ceil(num_steps / 32.0)) * 32)
+
+    rm = config.model.resolved(ns, d)
+    bounds = GPBounds(
+        min_lengthscale=jnp.asarray(rm.min_lengthscale, dtype),
+        max_lengthscale=jnp.asarray(rm.max_lengthscale, dtype),
+        min_outputscale=jnp.asarray(rm.min_outputscale, dtype),
+        max_outputscale=jnp.asarray(rm.max_outputscale, dtype),
+        min_noise=jnp.asarray(rm.min_noise_var, dtype),
+        max_noise=jnp.asarray(rm.max_noise_var, dtype),
+    )
+    params0 = params_from_constrained(
+        jnp.asarray(rm.init_lengthscale, dtype),
+        jnp.asarray(rm.init_outputscale, dtype),
+        jnp.asarray(rm.init_noise_var, dtype),
+        bounds,
+    )
+
+    rc = config.reward
+    w = np.diag(np.concatenate([np.asarray(rc.weight_state, float), np.asarray(rc.weight_action, float)]))
+    reward_spec = RewardSpec(
+        target_state_action_norm=jnp.asarray(
+            np.concatenate([np.asarray(rc.target_state_norm, float), np.asarray(rc.target_action_norm, float)]), dtype
+        ),
+        weight_matrix_cost=jnp.asarray(w, dtype),
+        target_state_norm=jnp.asarray(np.asarray(rc.target_state_norm, float), dtype),
+        weight_matrix_cost_terminal=jnp.asarray(np.diag(np.asarray(rc.weight_state_terminal, float)), dtype),
+        use_constraints=bool(rc.use_constraints),
+        state_min=jnp.asarray(np.asarray(rc.state_min, float), dtype),
+        state_max=jnp.asarray(np.asarray(rc.state_max, float), dtype),
+        area_multiplier=float(rc.area_multiplier),
+        exploration_factor=float(rc.exploration_factor),
+        clip_lower_bound_cost_to_0=bool(rc.clip_lower_bound_cost_to_0),
+    )
+    action_spec = ActionMapperSpec(
+        limit_action_change=bool(config.actions.limit_action_change),
+        max_change_action_norm=jnp.asarray(np.asarray(config.actions.max_change_action_norm, float), dtype),
+        len_horizon=config.controller.len_horizon,
+        dim_action=na,
+    )
+    opt = config.controller.actions_optimizer_params
+    plan_spec = PlanSpec(
+        reward=reward_spec,
+        action=action_spec,
+        include_time_model=bool(config.model.include_time_model),
+        len_horizon=config.controller.len_horizon,
+        dim_action=na,
+        dim_state=ns,
+        maxiter=int(opt.get("maxiter", 30)),
+        maxcor=int(opt.get("maxcor", 30)),
+        maxls=int(opt.get("maxls", opt.get("maxiter", 30))),
+    )
+    tc = config.training
+    train_cfg = TrainConfigDevice(
+        lr=float(tc.lr_train), iters=int(tc.iter_train) * 20, clip_grad_value=float(tc.clip_grad_value)
+    )
+
+    spec = EpisodeSpec(
+        env=env,
+        plan=plan_spec,
+        bounds=bounds,
+        train_cfg=train_cfg,
+        obs_var_norm_diag=jnp.asarray(np.asarray(config.observation.obs_var_norm, float), dtype),
+        thr_err=jnp.asarray(np.asarray(config.memory.min_error_prediction_state_for_memory, float), dtype),
+        thr_std=jnp.asarray(np.asarray(config.memory.min_prediction_state_std_for_memory, float), dtype),
+        check_storage=bool(config.memory.check_errors_for_storage),
+        num_steps=num_steps,
+        warmup=warmup,
+        cap=int(cap),
+        num_repeat_actions=int(config.controller.num_repeat_actions),
+        training_frequency=int(config.training.training_frequency),
+        restarts_optim=max(1, int(config.controller.restarts_optim)),
+        init_from_previous_actions=bool(config.controller.init_from_previous_actions),
+        include_time_model=bool(config.model.include_time_model),
+        dtype=dtype,
+    )
+    return spec, params0
+
+
+def build_episode_fn(spec: EpisodeSpec):
+    """Returns jitted fn(key, params0) -> dict with per-step costs/states/actions."""
+    env = spec.env
+    ns = len(env.obs_low)
+    na = len(env.act_low)
+    d = ns + na + (1 if spec.include_time_model else 0)
+    dtype = spec.dtype
+    nh = spec.plan.len_horizon
+    n_flat = nh * na
+
+    obs_low = jnp.asarray(env.obs_low, dtype)
+    obs_high = jnp.asarray(env.obs_high, dtype)
+    act_low = jnp.asarray(env.act_low, dtype)
+    act_high = jnp.asarray(env.act_high, dtype)
+    obs_var = jnp.diag(spec.obs_var_norm_diag)
+
+    def norm_obs(obs):
+        return (obs - obs_low) / (obs_high - obs_low)
+
+    def denorm_act(a):
+        return a * (act_high - act_low) + act_low
+
+    def plan_actions(mem: MemoryState, params, state_mu, prev_mpc, have_prev, action_prev, t, key):
+        mask = memory_active_mask(mem)
+        cache = masked_cholesky_factorize(params, spec.bounds, mem.model_inputs, mem.model_targets, mask)
+
+        def objective(a):
+            cost, _ = _objective_and_info(spec.plan, cache, a, state_mu, obs_var, action_prev, t)
+            return cost
+
+        k_init, k_warm = jax.random.split(key)
+        inits = jax.random.uniform(k_init, (spec.restarts_optim, n_flat), dtype)
+        if spec.init_from_previous_actions:
+            warm = jnp.concatenate([prev_mpc[na:], prev_mpc[-na:]])
+            inits = inits.at[0].set(jnp.where(have_prev, warm, inits[0]))
+
+        lower = jnp.zeros((n_flat,), dtype)
+        upper = jnp.ones((n_flat,), dtype)
+
+        def one(a0):
+            return lbfgs_b_minimize(
+                objective, a0, lower, upper,
+                maxiter=spec.plan.maxiter, maxcor=spec.plan.maxcor, maxls=spec.plan.maxls, keep_best=True,
+            )
+
+        xs, fs = jax.vmap(one)(inits)
+        fs_safe = jnp.where(jnp.isnan(fs), jnp.inf, fs)
+        best = jnp.where(jnp.all(jnp.isnan(fs)), 0, jnp.argmin(fs_safe))
+        a_opt = xs[best]
+        _, info = _objective_and_info(spec.plan, cache, a_opt, state_mu, obs_var, action_prev, t)
+        return a_opt, info
+
+    def eval_actions(mem: MemoryState, params, state_mu, actions_mpc, action_prev, t):
+        mask = memory_active_mask(mem)
+        cache = masked_cholesky_factorize(params, spec.bounds, mem.model_inputs, mem.model_targets, mask)
+        _, info = _objective_and_info(spec.plan, cache, actions_mpc, state_mu, obs_var, action_prev, t)
+        return actions_mpc, info
+
+    def step(carry, t):
+        (env_state, obs, mem, params, action_raw_cached, action_model_prev, prev_mpc, have_prev, pred_state, pred_std, key) = carry
+        key, k_plan, k_env, k_rand = jax.random.split(key, 4)
+
+        planning = (t % spec.num_repeat_actions) == 0
+        state_mu = norm_obs(obs)
+
+        def do_plan(_):
+            mem2 = memory_prepare(mem, spec.num_repeat_actions, ns)
+            random_step = t < spec.warmup
+
+            rand_mpc = jax.random.uniform(k_rand, (n_flat,), dtype)
+
+            def plan_branch(_):
+                return plan_actions(mem2, params, state_mu, prev_mpc, have_prev, action_model_prev, t, k_plan)
+
+            def rand_branch(_):
+                return eval_actions(mem2, params, state_mu, rand_mpc, action_model_prev, t)
+
+            a_opt, info = lax.cond(random_step, rand_branch, plan_branch, None)
+            actions_model = mpc_to_model_actions(spec.plan.action, a_opt, action_model_prev)
+            a_model0 = actions_model[0]
+            a_raw = denorm_act(a_model0)
+            p_state = info.states_mu_pred[1]
+            p_std = jnp.sqrt(jnp.maximum(jnp.diagonal(info.states_var_pred[1]), 0.0))
+            return mem2, a_raw, a_model0, a_opt, jnp.asarray(True), p_state, p_std
+
+        def no_plan(_):
+            return mem, action_raw_cached, action_model_prev, prev_mpc, have_prev, pred_state, pred_std
+
+        mem, a_raw, a_model0, prev_mpc2, have_prev2, pred_state2, pred_std2 = lax.cond(planning, do_plan, no_plan, None)
+
+        # realized cost of (obs, action) — compute_cost_unnormalized equivalent
+        a_model_now = (a_raw - act_low) / (act_high - act_low)
+        reward_now, _ = reward_single(spec.plan.reward, state_mu, obs_var, a_model_now)
+        cost_now = -reward_now
+
+        env_state2, obs_new, env_reward = env.step_fn(env_state, a_raw, k_env)
+
+        # memory add with storage filter (gp_memory.py:31-64)
+        s_next = norm_obs(obs_new)
+        x_row = jnp.zeros((d,), dtype).at[:ns].set(state_mu).at[ns : ns + na].set(a_model_now)
+        if spec.include_time_model:
+            x_row = x_row.at[-1].set(t.astype(dtype))
+        if spec.check_storage:
+            err = jnp.abs(pred_state2 - s_next)
+            store = jnp.any(err > spec.thr_err) & jnp.any(pred_std2 > spec.thr_std)
+        else:
+            store = jnp.asarray(True)
+        mem = memory_add(mem, x_row, s_next, store)
+
+        # periodic synchronous training ((t+1) % frequency == 0)
+        def do_train(p):
+            mem3 = memory_prepare(mem, spec.num_repeat_actions, ns)
+            mask = memory_active_mask(mem3)
+            new_p, _ = train_hyperparams(
+                p, spec.bounds, mem3.model_inputs, mem3.model_targets, mask, jax.random.fold_in(key, 7), spec.train_cfg
+            )
+            return new_p
+
+        params = lax.cond((t + 1) % spec.training_frequency == 0, do_train, lambda p: p, params)
+
+        out = {
+            "obs": obs,
+            "action_raw": a_raw,
+            "cost": cost_now,
+            "env_reward": env_reward,
+            "pred_state": pred_state2,
+            "pred_std": pred_std2,
+        }
+        carry = (env_state2, obs_new, mem, params, a_raw, a_model0, prev_mpc2, have_prev2, pred_state2, pred_std2, key)
+        return carry, out
+
+    def episode(key, params0: GPParams):
+        k_init, k_scan, k_prev = jax.random.split(key, 3)
+        env_state, obs = env.init_fn(k_init)
+        mem = memory_init(spec.cap, d, ns, dtype)
+        carry = (
+            env_state,
+            jnp.asarray(obs, dtype),
+            mem,
+            params0,
+            jnp.zeros((na,), dtype),
+            jax.random.uniform(k_prev, (na,), dtype),
+            jnp.zeros((n_flat,), dtype),
+            jnp.asarray(False),
+            jnp.zeros((ns,), dtype),
+            jnp.zeros((ns,), dtype),
+            k_scan,
+        )
+        carry, outs = lax.scan(step, carry, jnp.arange(spec.num_steps, dtype=jnp.int32))
+        outs["final_params"] = carry[3]
+        return outs
+
+    return jax.jit(episode)
+
+
+def run_episodes_batch(spec: EpisodeSpec, params0: GPParams, keys):
+    """vmap the episode over seeds — the TPU-native run_env_multiple."""
+    fn = build_episode_fn(spec)
+    return jax.vmap(fn, in_axes=(0, None))(keys, params0)
