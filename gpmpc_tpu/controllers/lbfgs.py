@@ -41,32 +41,29 @@ class _LbfgsState(NamedTuple):
 
 
 def _two_loop(state: _LbfgsState, q: jnp.ndarray, maxcor: int) -> jnp.ndarray:
-    """Two-loop recursion computing H·q with the rolling history buffer."""
+    """Two-loop recursion computing H·q with the rolling history buffer.
 
-    def first_loop(i, carry):
-        q_, alphas = carry
+    maxcor is static and tiny (<= ~10), so both loops are unrolled in Python:
+    each trip is a couple of length-n dots, and on TPU the lax.fori_loop
+    bookkeeping would cost more than the math itself.
+    """
+    alphas = [None] * maxcor
+    q_ = q
+    for i in range(maxcor):
         # i-th most recent pair lives at (head - 1 - i) mod m
         idx = (state.head - 1 - i) % maxcor
         ok = state.valid[idx]
         alpha = jnp.where(ok, state.rho[idx] * jnp.dot(state.s_hist[idx], q_), 0.0)
-        q_ = q_ - jnp.where(ok, alpha, 0.0) * state.y_hist[idx]
-        return q_, alphas.at[i].set(alpha)
+        q_ = q_ - alpha * state.y_hist[idx]
+        alphas[i] = alpha
 
-    alphas0 = jnp.zeros((maxcor,), dtype=q.dtype)
-    q_out, alphas = lax.fori_loop(0, maxcor, first_loop, (q, alphas0))
-
-    r = state.gamma * q_out
-
-    def second_loop(i, r_):
-        # iterate oldest -> newest: i runs maxcor-1 .. 0 in recency terms
-        rec = maxcor - 1 - i
+    r_ = state.gamma * q_
+    for rec in range(maxcor - 1, -1, -1):  # oldest -> newest
         idx = (state.head - 1 - rec) % maxcor
         ok = state.valid[idx]
         beta = jnp.where(ok, state.rho[idx] * jnp.dot(state.y_hist[idx], r_), 0.0)
         r_ = r_ + jnp.where(ok, alphas[rec] - beta, 0.0) * state.s_hist[idx]
-        return r_
-
-    return lax.fori_loop(0, maxcor, second_loop, r)
+    return r_
 
 
 def _line_search(

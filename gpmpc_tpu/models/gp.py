@@ -184,6 +184,61 @@ def masked_cholesky_factorize(
     )
 
 
+def _small_spd_inv_det(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse and determinant of small SPD matrices via UNROLLED Cholesky.
+
+    M: (..., k, k), k a small static int. Every operation is an elementwise
+    jnp op on (...)-shaped slices — no lax.linalg primitives — so XLA fuses
+    the whole factorization into the surrounding moment-matching math. This
+    is what keeps the rollout scan body free of Cholesky / triangular-solve
+    kernels on TPU (which are latency-bound sequential loops even at 3x3).
+
+    Returns (Minv (..., k, k), det (...,)).
+    """
+    k = M.shape[-1]
+    L = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            s = M[..., i, j]
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
+            if i == j:
+                L[i][i] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    det = L[0][0] * L[0][0]
+    for i in range(1, k):
+        det = det * (L[i][i] * L[i][i])
+    # forward-substitute L^-1 (lower triangular), unrolled
+    Li = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            if i == j:
+                Li[i][i] = 1.0 / L[i][i]
+            else:
+                s = L[i][j] * Li[j][j]
+                for p in range(j + 1, i):
+                    s = s + L[i][p] * Li[p][j]
+                Li[i][j] = -s / L[i][i]
+    # Minv = L^-T L^-1 (symmetric)
+    rows = []
+    for i in range(k):
+        row = []
+        for j in range(k):
+            lo = max(i, j)
+            s = Li[lo][i] * Li[lo][j]
+            for p in range(lo + 1, k):
+                s = s + Li[p][i] * Li[p][j]
+            row.append(s)
+        rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(rows, axis=-2), det
+
+
+# Above this state dimension the unrolled Cholesky's O(Ns^3) op-count stops
+# paying for itself against the batched lax.linalg kernels.
+_UNROLL_MAX_DIM = 8
+
+
 def moment_match(
     cache: FactorizationCache, input_mu: jnp.ndarray, input_var: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -193,7 +248,12 @@ def moment_match(
 
     Args:
       input_mu: (D,) mean of the Gaussian input (state+action(+time)).
-      input_var: (D, D) input covariance (only the state block is nonzero).
+      input_var: (D, D) input covariance. Only the top-left Ns x Ns state
+        block may be nonzero — actions (and time) are deterministic, exactly
+        as in the reference (gp_model.py:96-97). This block structure is
+        exploited: all D x D solves/determinants collapse to Ns x Ns ones,
+        computed with fully-unrolled fusible Cholesky (no linalg kernels in
+        the rollout hot loop).
 
     Returns:
       M: (Ns,) predicted mean state change.
@@ -205,22 +265,29 @@ def moment_match(
     outs = cache.outputscales  # (Ns,)
     ns, d = ls.shape
     dtype = x_mem.dtype
+    sv = input_var[:ns, :ns]  # the only nonzero block
 
     inp = x_mem - input_mu[None, :]  # (N, D), same for every model
     inv_ls = 1.0 / ls  # (Ns, D)
 
     # --- mean and input-output covariance -------------------------------
-    # TPU note: no LU decomposition exists for f64 on TPU, so every solve and
-    # determinant below is Cholesky-based. B = iL S iL + I is SPD.
+    # B = iL S iL + I is block diagonal [B_ss, I]: only its state block needs
+    # factorizing. det(B) = det(B_ss); solve(B, v) touches only v[:ns].
     iN = inp[None, :, :] * inv_ls[:, None, :]  # (Ns, N, D) == inp @ iL
-    B = inv_ls[:, :, None] * input_var[None, :, :] * inv_ls[:, None, :] + jnp.eye(d, dtype=dtype)
-    Lb = jnp.linalg.cholesky(B)  # (Ns, D, D)
-    # t = solve(B, iN^T)^T
-    t = jnp.swapaxes(_cho_solve(Lb, jnp.swapaxes(iN, -1, -2)), -1, -2)
+    B_ss = inv_ls[:, :ns, None] * sv[None, :, :] * inv_ls[:, None, :ns] + jnp.eye(ns, dtype=dtype)
+    if ns <= _UNROLL_MAX_DIM:
+        B_inv, det_B = _small_spd_inv_det(B_ss)  # (Ns, ns, ns), (Ns,)
+    else:
+        Lb = jnp.linalg.cholesky(B_ss)
+        eye_b = jnp.broadcast_to(jnp.eye(ns, dtype=dtype), B_ss.shape)
+        B_inv = _cho_solve(Lb, eye_b)
+        det_B = jnp.prod(jnp.einsum("mii->mi", Lb), axis=-1) ** 2
+    # t = solve(B, iN^T)^T : action/time columns pass through untouched.
+    t_s = jnp.einsum("mnk,mkj->mnj", iN[..., :ns], B_inv)  # (Ns, N, ns)
+    t = jnp.concatenate([t_s, iN[..., ns:]], axis=-1)  # (Ns, N, D)
     lb = jnp.exp(-0.5 * jnp.sum(iN * t, axis=-1)) * beta  # (Ns, N)
     tiL = t * inv_ls[:, None, :]  # (Ns, N, D)
-    sqrt_det_B = jnp.prod(jnp.einsum("mii->mi", Lb), axis=-1)  # (Ns,)
-    c = outs / sqrt_det_B
+    c = outs / jnp.sqrt(det_B)
 
     M = jnp.sum(lb, axis=-1) * c  # (Ns,)
     V = jnp.einsum("mnd,mn->md", tiL, lb) * c[:, None]  # (Ns, D)
@@ -230,18 +297,28 @@ def moment_match(
     # R[i,j] = S * diag(1/ls_i^2 + 1/ls_j^2) + I is NOT symmetric, but with
     # Dd = diag(scale_sum) it factors as R = (S + Dd^-1) Dd where A = S + Dd^-1
     # is SPD, so solve(R, S) = Dd^-1 A^-1 S and det(R) = det(A) prod(Dd).
+    # A inherits the block structure: A = [S_ss + D_ss^-1, 0; 0, D_aa^-1], so
+    # A^-1 S has only the state block nonzero and
+    # det(R) = det(A_ss) prod(scale_sum_ss).
     scale_sum = inv_ls2[:, None, :] + inv_ls2[None, :, :]  # (Ns, Ns, D)
-    d_inv = 1.0 / scale_sum  # (Ns, Ns, D)
-    A = jnp.broadcast_to(input_var, (ns, ns, d, d)) + _diag_embed(d_inv)
-    La = jnp.linalg.cholesky(A)  # (Ns, Ns, D, D)
-    AinvS = _cho_solve(La, jnp.broadcast_to(input_var, (ns, ns, d, d)))
-    Q = d_inv[..., :, None] * AinvS * 0.5  # (Ns, Ns, D, D)
-    sqrt_det_R = jnp.prod(jnp.einsum("ijkk->ijk", La), axis=-1) * jnp.sqrt(jnp.prod(scale_sum, axis=-1))
+    d_inv_s = 1.0 / scale_sum[..., :ns]  # (Ns, Ns, ns)
+    A_ss = jnp.broadcast_to(sv, (ns, ns, ns, ns)) + _diag_embed(d_inv_s)
+    if ns <= _UNROLL_MAX_DIM:
+        A_inv, det_A = _small_spd_inv_det(A_ss)  # (Ns, Ns, ns, ns), (Ns, Ns)
+    else:
+        La = jnp.linalg.cholesky(A_ss)
+        eye_a = jnp.broadcast_to(jnp.eye(ns, dtype=dtype), A_ss.shape)
+        A_inv = _cho_solve(La, eye_a)
+        det_A = jnp.prod(jnp.einsum("ijkk->ijk", La), axis=-1) ** 2
+    AinvS = jnp.einsum("ijkl,lm->ijkm", A_inv, sv)  # (Ns, Ns, ns, ns)
+    Q = d_inv_s[..., :, None] * AinvS * 0.5  # (Ns, Ns, ns, ns)
+    sqrt_det_R = jnp.sqrt(det_A * jnp.prod(scale_sum[..., :ns], axis=-1))
 
-    # X[i,j,n,:] = inp[n]/ls_i^2 ; X2[i,j,n,:] = -inp[n]/ls_j^2
-    Xi = inp[None, :, :] * inv_ls2[:, None, :]  # (Ns, N, D) — row index = model i
+    # X[i,j,n,:] = inp[n]/ls_i^2 ; X2[i,j,n,:] = -inp[n]/ls_j^2. Q only has
+    # the state block, so every Q contraction runs over ns, not D.
+    Xi = inp[None, :, :ns] * inv_ls2[:, None, :ns]  # (Ns, N, ns) — row index = model i
     # X @ Q: X[i,j] = Xi[i] (independent of j) => einsum over (i,j)
-    XQ = jnp.einsum("ind,ijde->ijne", Xi, Q)  # (Ns, Ns, N, D)
+    XQ = jnp.einsum("ind,ijde->ijne", Xi, Q)  # (Ns, Ns, N, ns)
     X2Q = jnp.einsum("jnd,ijde->ijne", -Xi, Q)  # uses X2[i,j] = -Xi[j]
     Xs = jnp.sum(XQ * Xi[:, None, :, :], axis=-1)  # (Ns, Ns, N)
     X2s = jnp.sum(X2Q * (-Xi)[None, :, :, :], axis=-1)  # (Ns, Ns, N)
@@ -325,7 +402,11 @@ def predict_trajectory(
         return (new_mu, new_var), (new_mu, new_var)
 
     t_offsets = jnp.arange(actions.shape[0], dtype=dtype)
-    (_, _), (mus, vars_) = lax.scan(step, (state_mu, state_var), (actions, t_offsets))
+    # Full unroll: the horizon is short (<= ~30) and the step body is pure
+    # fusible arithmetic after the block-structure rewrite, so unrolling
+    # removes the TPU loop/dynamic-slice overhead (and the backward pass's
+    # residual stacking) that dominates at these tiny shapes.
+    (_, _), (mus, vars_) = lax.scan(step, (state_mu, state_var), (actions, t_offsets), unroll=True)
     states_mu = jnp.concatenate([state_mu[None], mus], axis=0)
     states_var = jnp.concatenate([state_var[None], vars_], axis=0)
     return states_mu, states_var
