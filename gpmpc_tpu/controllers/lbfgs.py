@@ -196,6 +196,9 @@ def _lbfgs_core(
         )
         return new_state, None
 
+    # NOTE: unroll=True here gains ~5% planning latency but multiplies the
+    # XLA compile time ~2.5x (the body contains a vmapped value_and_grad of
+    # the unrolled rollout); kept rolled on purpose.
     state, _ = lax.scan(step_fn, state0, None, length=maxiter)
     if keep_best:
         return state.best_x, state.best_f

@@ -18,7 +18,7 @@ optionally clamping the reward UCB to <= 0 with a straight-through clamp.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,7 @@ from ..models.gp import (
     FactorizationCache,
     GPBounds,
     GPParams,
+    extend_factorization,
     masked_cholesky_factorize,
     predict_trajectory,
 )
@@ -92,33 +93,62 @@ def build_plan_fn(spec: PlanSpec):
 
     def plan(x_pad, y_pad, mask, params: GPParams, bounds: GPBounds, state_mu, state_var, inits, action_prev, iter_ctrl):
         cache = masked_cholesky_factorize(params, bounds, x_pad, y_pad, mask)
-
-        def objective(a):
-            cost, _ = _objective_and_info(spec, cache, a, state_mu, state_var, action_prev, iter_ctrl)
-            return cost
-
-        lower = jnp.zeros_like(inits[0])
-        upper = jnp.ones_like(inits[0])
-
-        def one_restart(a0):
-            return lbfgs_b_minimize(
-                objective, a0, lower, upper,
-                maxiter=spec.maxiter, maxcor=spec.maxcor, maxls=spec.maxls, keep_best=True,
-            )
-
-        xs, fs = jax.vmap(one_restart)(inits)  # (R, n), (R,)
-        # best restart; NaN objective falls back to the first restart
-        # (reference gp_mpc_controller.py:146-148)
-        fs_safe = jnp.where(jnp.isnan(fs), jnp.inf, fs)
-        all_nan = jnp.all(jnp.isnan(fs))
-        best = jnp.where(all_nan, 0, jnp.argmin(fs_safe))
-        a_opt = xs[best]
-
-        cost, info = _objective_and_info(spec, cache, a_opt, state_mu, state_var, action_prev, iter_ctrl)
-        actions_model = mpc_to_model_actions(spec.action, a_opt, action_prev)
-        return a_opt, actions_model, info
+        return _plan_from_cache(spec, cache, state_mu, state_var, inits, action_prev, iter_ctrl)
 
     return jax.jit(plan)
+
+
+def _plan_from_cache(spec: PlanSpec, cache: FactorizationCache, state_mu, state_var, inits, action_prev, iter_ctrl):
+    def objective(a):
+        cost, _ = _objective_and_info(spec, cache, a, state_mu, state_var, action_prev, iter_ctrl)
+        return cost
+
+    lower = jnp.zeros_like(inits[0])
+    upper = jnp.ones_like(inits[0])
+
+    def one_restart(a0):
+        return lbfgs_b_minimize(
+            objective, a0, lower, upper,
+            maxiter=spec.maxiter, maxcor=spec.maxcor, maxls=spec.maxls, keep_best=True,
+        )
+
+    xs, fs = jax.vmap(one_restart)(inits)  # (R, n), (R,)
+    # best restart; NaN objective falls back to the first restart
+    # (reference gp_mpc_controller.py:146-148)
+    fs_safe = jnp.where(jnp.isnan(fs), jnp.inf, fs)
+    all_nan = jnp.all(jnp.isnan(fs))
+    best = jnp.where(all_nan, 0, jnp.argmin(fs_safe))
+    a_opt = xs[best]
+
+    cost, info = _objective_and_info(spec, cache, a_opt, state_mu, state_var, action_prev, iter_ctrl)
+    actions_model = mpc_to_model_actions(spec.action, a_opt, action_prev)
+    return a_opt, actions_model, info
+
+
+def build_cached_plan_fn(spec: PlanSpec):
+    """Jitted planner operating on a prebuilt FactorizationCache.
+
+    Paired with ``build_factorize_fn`` / ``build_extend_fn`` this splits the
+    planning step so the O(N^3) factorization runs only when memory or
+    hyperparameters actually changed; appends are O(N^2) extensions."""
+
+    def plan(cache: FactorizationCache, state_mu, state_var, inits, action_prev, iter_ctrl):
+        return _plan_from_cache(spec, cache, state_mu, state_var, inits, action_prev, iter_ctrl)
+
+    return jax.jit(plan)
+
+
+def build_cached_eval_fn(spec: PlanSpec):
+    def evaluate(cache: FactorizationCache, state_mu, state_var, actions_mpc, action_prev, iter_ctrl):
+        cost, info = _objective_and_info(spec, cache, actions_mpc, state_mu, state_var, action_prev, iter_ctrl)
+        actions_model = mpc_to_model_actions(spec.action, actions_mpc, action_prev)
+        return actions_model, info
+
+    return jax.jit(evaluate)
+
+
+_factorize_jit = jax.jit(masked_cholesky_factorize)
+_extend_jit = jax.jit(extend_factorization)
 
 
 def build_eval_fn(spec: PlanSpec):
@@ -135,17 +165,63 @@ def build_eval_fn(spec: PlanSpec):
 
 
 class Planner:
-    """Caches jitted plan/eval functions keyed by the memory bucket size."""
+    """Jitted plan/eval functions plus factorization-cache lifecycle.
+
+    The factorization cache (L, iK, beta) is kept on device across planning
+    steps. It is rebuilt from scratch (O(Ns N^3)) only when hyperparameters
+    change (after a training swap), when the padding bucket grows, or when
+    memory changed in a non-append way; the common case — one new stored
+    point per planning step — is an O(Ns N^2) ``extend_factorization``. The
+    reference refactorizes every planning step (gp_model.py:182-191).
+    """
+
+    # more appended points than this per step -> full refactorize is cheaper
+    _MAX_EXTENDS_PER_STEP = 8
 
     def __init__(self, spec: PlanSpec):
         self.spec = spec
-        self._plan_fns: Dict[int, object] = {}
-        self._eval_fns: Dict[int, object] = {}
         self._plan = build_plan_fn(spec)
         self._eval = build_eval_fn(spec)
+        self._plan_cached = build_cached_plan_fn(spec)
+        self._eval_cached = build_cached_eval_fn(spec)
+        self._cache: Optional[FactorizationCache] = None
+        self._cache_n = -1
+        self._cache_bucket = -1
+        self._cache_params = None  # identity of the GPParams the cache was built with
+        self._cache_was_dummy = False
+
+    def invalidate_cache(self) -> None:
+        self._cache = None
+
+    def refresh_cache(self, x_pad, y_pad, mask, params, bounds) -> FactorizationCache:
+        """Bring the device factorization cache up to date with memory."""
+        bucket = int(x_pad.shape[0])
+        n_active = int(np.sum(mask))
+        is_dummy = bool(n_active == 1 and not np.any(x_pad[0]) and not np.any(y_pad[0]))
+
+        appended = n_active - self._cache_n
+        can_extend = (
+            self._cache is not None
+            and params is self._cache_params
+            and bucket == self._cache_bucket
+            and not self._cache_was_dummy
+            and 0 <= appended <= self._MAX_EXTENDS_PER_STEP
+        )
+        if can_extend:
+            for i in range(self._cache_n, n_active):
+                self._cache = _extend_jit(self._cache, jnp.asarray(x_pad[i]), jnp.asarray(y_pad[i]))
+        else:
+            self._cache = _factorize_jit(params, bounds, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask))
+        self._cache_n = n_active
+        self._cache_bucket = bucket
+        self._cache_params = params
+        self._cache_was_dummy = is_dummy
+        return self._cache
 
     def plan(self, x_pad, y_pad, mask, params, bounds, state_mu, state_var, inits, action_prev, iter_ctrl):
-        return self._plan(x_pad, y_pad, mask, params, bounds, state_mu, state_var, inits, action_prev, iter_ctrl)
+        cache = self.refresh_cache(x_pad, y_pad, mask, params, bounds)
+        return self._plan_cached(cache, state_mu, state_var, inits, action_prev, iter_ctrl)
 
     def evaluate(self, x_pad, y_pad, mask, params, bounds, state_mu, state_var, actions_mpc, action_prev, iter_ctrl):
-        return self._eval(x_pad, y_pad, mask, params, bounds, state_mu, state_var, actions_mpc, action_prev, iter_ctrl)
+        cache = self.refresh_cache(x_pad, y_pad, mask, params, bounds)
+        return self._eval_cached(cache, state_mu, state_var, actions_mpc, action_prev, iter_ctrl)

@@ -103,6 +103,9 @@ def load_controller_state(ctrl, state: Dict[str, np.ndarray]) -> None:
         ctrl.past_action = np.asarray(state["past_action"])
     if "actions_mpc_previous_iter" in state:
         ctrl.actions_mpc_previous_iter = np.asarray(state["actions_mpc_previous_iter"])
+    # memory contents were replaced wholesale — the incremental factorization
+    # cache can no longer assume an append-only history.
+    ctrl.planner.invalidate_cache()
 
 
 def save_checkpoint(ctrl, path: str) -> str:

@@ -196,3 +196,58 @@ def test_time_model_integration():
     cfg.model.include_time_model = True
     costs = run_env(env, cfg, visu_config=None, random_actions_init=4, num_steps=10, verbose=False)
     assert np.all(np.isfinite(costs))
+
+
+def test_planner_cache_reuse_matches_full_plan():
+    """The incremental-factorization planning path must produce the same
+    actions as the from-scratch path as memory grows point by point."""
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.controllers.planner import Planner, PlanSpec, build_plan_fn
+    from gpmpc_tpu.mappers.action import ActionMapperSpec
+    from gpmpc_tpu.mappers.reward import RewardSpec
+    from tests.test_gp_math import make_problem
+
+    rng = np.random.default_rng(3)
+    params, bounds, x, y, ls, outs, noise, x_pad, y_pad, mask = make_problem(rng, n=10, pad_to=32)
+    ns, na, nh = 3, 1, 4
+    reward_spec = RewardSpec(
+        target_state_action_norm=jnp.asarray([1.0, 0.5, 0.5, 0.5]),
+        weight_matrix_cost=jnp.asarray(np.diag([1.0, 0.1, 0.1, 1e-3])),
+        target_state_norm=jnp.asarray([1.0, 0.5, 0.5]),
+        weight_matrix_cost_terminal=jnp.asarray(np.diag([5.0, 2.0, 2.0])),
+        use_constraints=False,
+        state_min=jnp.zeros(ns),
+        state_max=jnp.ones(ns),
+        area_multiplier=1.0,
+        exploration_factor=1.0,
+        clip_lower_bound_cost_to_0=False,
+    )
+    action_spec = ActionMapperSpec(False, jnp.asarray([0.3]), nh, na)
+    spec = PlanSpec(reward_spec, action_spec, False, nh, na, ns, 3, 4, 4)
+
+    planner = Planner(spec)
+    full_plan = build_plan_fn(spec)
+
+    state_mu = jnp.asarray(rng.uniform(0, 1, spec.dim_state))
+    state_var = jnp.eye(spec.dim_state) * 1e-5
+    action_prev = jnp.asarray(rng.uniform(0, 1, spec.dim_action))
+
+    x_pad, y_pad, mask = x_pad.copy(), y_pad.copy(), mask.copy()
+    for step in range(3):
+        inits = jnp.asarray(rng.uniform(0, 1, (2, spec.len_horizon * spec.dim_action)))
+        a_cached, am_cached, _ = planner.plan(
+            x_pad, y_pad, mask, params, bounds, state_mu, state_var, inits, action_prev, step
+        )
+        a_full, am_full, _ = full_plan(
+            jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask), params, bounds,
+            state_mu, state_var, inits, action_prev, step,
+        )
+        np.testing.assert_allclose(np.asarray(a_cached), np.asarray(a_full), atol=1e-6)
+        assert planner._cache_n == 10 + step
+        # append one point, as one planning step does
+        n = 10 + step
+        x_pad[n] = rng.uniform(0, 1, x_pad.shape[1])
+        y_pad[n] = rng.normal(0, 0.05, y_pad.shape[1])
+        mask[n] = True
+    # step 0 was a full factorize; steps 1-2 extended incrementally

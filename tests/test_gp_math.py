@@ -180,3 +180,44 @@ def test_jit_eager_equivalence(rng):
     cache_j = jax.jit(masked_cholesky_factorize)(*args)
     np.testing.assert_allclose(np.asarray(cache_e.iK), np.asarray(cache_j.iK), atol=1e-12)
     np.testing.assert_allclose(np.asarray(cache_e.beta), np.asarray(cache_j.beta), atol=1e-12)
+
+
+def test_extend_factorization_matches_full(rng):
+    """Appending points one at a time (O(N^2) path) must equal the full
+    refactorization on the grown active block."""
+    from gpmpc_tpu.models.gp import extend_factorization
+
+    params, bounds, x, y, ls, outs, noise, x_pad, y_pad, mask = make_problem(rng, n=20, pad_to=40)
+    cache = masked_cholesky_factorize(params, bounds, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask))
+
+    # append 6 fresh points sequentially
+    x_new = rng.uniform(0, 1, size=(6, D))
+    y_new = rng.normal(0, 0.05, size=(6, NS))
+    for i in range(6):
+        cache = extend_factorization(cache, jnp.asarray(x_new[i]), jnp.asarray(y_new[i]))
+
+    x_pad2, y_pad2, mask2 = x_pad.copy(), y_pad.copy(), mask.copy()
+    x_pad2[20:26], y_pad2[20:26], mask2[20:26] = x_new, y_new, True
+    full = masked_cholesky_factorize(params, bounds, jnp.asarray(x_pad2), jnp.asarray(y_pad2), jnp.asarray(mask2))
+
+    np.testing.assert_allclose(np.asarray(cache.x_mem), np.asarray(full.x_mem), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(cache.mask), np.asarray(full.mask))
+    np.testing.assert_allclose(np.asarray(cache.L), np.asarray(full.L), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cache.iK), np.asarray(full.iK), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cache.beta), np.asarray(full.beta), atol=1e-7)
+
+    # padding invariants survive extension
+    np.testing.assert_allclose(np.asarray(cache.iK)[:, 26:, :], 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cache.beta)[:, 26:], 0.0, atol=1e-12)
+
+    # and downstream moment matching agrees
+    input_mu = rng.uniform(0, 1, size=(D,))
+    sv = rng.normal(0, 0.1, size=(NS, NS))
+    state_var = sv @ sv.T * 0.01
+    input_var = np.zeros((D, D))
+    input_var[:NS, :NS] = state_var
+    M1, S1, V1 = moment_match(cache, jnp.asarray(input_mu), jnp.asarray(input_var))
+    M2, S2, V2 = moment_match(full, jnp.asarray(input_mu), jnp.asarray(input_var))
+    np.testing.assert_allclose(np.asarray(M1), np.asarray(M2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(V1), np.asarray(V2), atol=1e-8)
