@@ -165,7 +165,9 @@ def masked_cholesky_factorize(
     mask_f = mask.astype(dtype)
     mask2 = mask_f[:, None] * mask_f[None, :]  # (N, N)
 
-    K = gram_ard_rbf(lengthscales, outputscales, x)  # (Ns, N, N)
+    from ..ops import gram  # local import: ops dispatches back into this module
+
+    K = gram(lengthscales, outputscales, x)  # (Ns, N, N) — Pallas on TPU f32
     eye = jnp.eye(n, dtype=dtype)
     # zero inactive rows/cols, then give them a unit diagonal; active diagonal
     # gets the noise variance added.
