@@ -402,14 +402,20 @@ def moment_match(
     XjQ = jnp.einsum("pnd,pde->pne", Xj_p, Q)  # (P, N, ns)
     Xs = jnp.sum(XQ * Xi_p, axis=-1)  # (P, N)
     X2s = jnp.sum(XjQ * Xj_p, axis=-1)  # (P, N) — (-Xj)Q(-Xj) = Xj Q Xj
-    maha = 2.0 * jnp.einsum("pne,pke->pnk", XQ, Xj_p) + Xs[..., None] + X2s[..., None, :]
 
+    # The (P, N, N) pairwise kernel matrix E[p,n,k] =
+    # exp(a[p,n] + c[p,k] + U[p,n]·Xj[p,k]) and its two contractions
+    # S_p = b_i E b_j and corr_m = sum(iK ⊙ E_diag) dominate the rollout's
+    # HBM traffic; ops.cov_core dispatches to a fused VMEM-resident Pallas
+    # kernel on TPU f32 at large N and to this math in XLA otherwise.
     k = jnp.log(outs)[:, None] - 0.5 * jnp.sum(iN * iN, axis=-1)  # (Ns, N)
-    Lmat = jnp.exp(k[ii][:, :, None] + k[jj][:, None, :] + maha)  # (P, N, N)
-    S_p = jnp.einsum("pn,pnk,pk->p", beta[ii], Lmat, beta[jj])  # (P,)
+    a_row = k[ii] + Xs  # (P, N)
+    c_col = k[jj] + X2s  # (P, N)
+    U = 2.0 * XQ  # (P, N, ns)
 
-    # diagonal correction: S[c,c] -= sum(iK[c] * L[c,c])
-    corr = jnp.einsum("mnk,mnk->m", iK, Lmat[diag_pos])  # (Ns,)
+    from ..ops import cov_core
+
+    S_p, corr = cov_core(a_row, c_col, U, Xj_p, beta[ii], beta[jj], iK, tuple(diag_pos.tolist()))
     S_p = S_p.at[diag_pos].add(-corr)
     S_p = S_p / sqrt_det_R
 

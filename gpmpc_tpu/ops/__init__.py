@@ -26,4 +26,44 @@ def gram(lengthscales, outputscales, x, use_pallas: bool | None = None):
     return gram_ard_rbf(lengthscales, outputscales, x)
 
 
-__all__ = ["gram"]
+# Below this memory size the XLA-fused cov core wins (Pallas launch overhead
+# exceeds the HBM savings — measured 19/s XLA vs 13/s Pallas at N=768);
+# above it the fused kernels avoid materializing the (P, N, N) pairwise
+# kernel matrix and win (measured +18% at N=1536).
+PALLAS_COV_MIN_N = 1024
+
+
+def cov_core_xla(a, c, u, xj, bi, bj, ik, diag_pos):
+    """(S_p, corr) contractions of the moment-matching kernel matrix in XLA.
+
+    E[p,n,k] = exp(a[p,n] + c[p,k] + u[p,n,:].xj[p,k,:]);
+    S_p = bi E bj per pair; corr_m = sum(iK_m * E[diag_m]).
+    """
+    import numpy as np
+
+    e = jnp.exp(a[:, :, None] + c[:, None, :] + jnp.einsum("pne,pke->pnk", u, xj))
+    s_p = jnp.einsum("pn,pnk,pk->p", bi, e, bj)
+    corr = jnp.einsum("mnk,mnk->m", ik, e[np.asarray(diag_pos)])
+    return s_p, corr
+
+
+def cov_core(a, c, u, xj, bi, bj, ik, diag_pos, use_pallas: bool | None = None):
+    """Dispatch the moment-matching covariance core (see models/gp.py)."""
+    n = a.shape[1]
+    if use_pallas is None:
+        from .pallas_moment_cov import supported
+
+        use_pallas = (
+            a.dtype == jnp.float32
+            and jax.default_backend() not in ("cpu",)
+            and supported(n)
+            and n >= PALLAS_COV_MIN_N
+        )
+    if use_pallas:
+        from .pallas_moment_cov import cov_core_pallas
+
+        return cov_core_pallas(a, c, u, xj, bi, bj, ik, tuple(diag_pos))
+    return cov_core_xla(a, c, u, xj, bi, bj, ik, diag_pos)
+
+
+__all__ = ["cov_core", "cov_core_xla", "gram", "PALLAS_COV_MIN_N"]
