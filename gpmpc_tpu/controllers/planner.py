@@ -138,6 +138,18 @@ def build_cached_plan_fn(spec: PlanSpec):
     return jax.jit(plan)
 
 
+def build_extend_plan_fn(spec: PlanSpec):
+    """Jitted (extend one point -> plan) — the steady-state planning step as
+    ONE device call. Returns (new_cache, a_opt, actions_model, info)."""
+
+    def extend_plan(cache: FactorizationCache, x_new, y_new, state_mu, state_var, inits, action_prev, iter_ctrl):
+        cache2 = extend_factorization(cache, x_new, y_new)
+        a_opt, actions_model, info = _plan_from_cache(spec, cache2, state_mu, state_var, inits, action_prev, iter_ctrl)
+        return cache2, a_opt, actions_model, info
+
+    return jax.jit(extend_plan)
+
+
 def build_cached_eval_fn(spec: PlanSpec):
     def evaluate(cache: FactorizationCache, state_mu, state_var, actions_mpc, action_prev, iter_ctrl):
         cost, info = _objective_and_info(spec, cache, actions_mpc, state_mu, state_var, action_prev, iter_ctrl)
@@ -184,6 +196,7 @@ class Planner:
         self._eval = build_eval_fn(spec)
         self._plan_cached = build_cached_plan_fn(spec)
         self._eval_cached = build_cached_eval_fn(spec)
+        self._extend_plan = build_extend_plan_fn(spec)
         self._cache: Optional[FactorizationCache] = None
         self._cache_n = -1
         self._cache_bucket = -1
@@ -193,12 +206,10 @@ class Planner:
     def invalidate_cache(self) -> None:
         self._cache = None
 
-    def refresh_cache(self, x_pad, y_pad, mask, params, bounds) -> FactorizationCache:
-        """Bring the device factorization cache up to date with memory."""
+    def _cache_status(self, x_pad, y_pad, mask, params):
         bucket = int(x_pad.shape[0])
         n_active = int(np.sum(mask))
         is_dummy = bool(n_active == 1 and not np.any(x_pad[0]) and not np.any(y_pad[0]))
-
         appended = n_active - self._cache_n
         can_extend = (
             self._cache is not None
@@ -207,18 +218,36 @@ class Planner:
             and not self._cache_was_dummy
             and 0 <= appended <= self._MAX_EXTENDS_PER_STEP
         )
+        return bucket, n_active, is_dummy, appended, can_extend
+
+    def _note_cache(self, bucket, n_active, is_dummy, params):
+        self._cache_n = n_active
+        self._cache_bucket = bucket
+        self._cache_params = params
+        self._cache_was_dummy = is_dummy
+
+    def refresh_cache(self, x_pad, y_pad, mask, params, bounds) -> FactorizationCache:
+        """Bring the device factorization cache up to date with memory."""
+        bucket, n_active, is_dummy, appended, can_extend = self._cache_status(x_pad, y_pad, mask, params)
         if can_extend:
             for i in range(self._cache_n, n_active):
                 self._cache = _extend_jit(self._cache, jnp.asarray(x_pad[i]), jnp.asarray(y_pad[i]))
         else:
             self._cache = _factorize_jit(params, bounds, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask))
-        self._cache_n = n_active
-        self._cache_bucket = bucket
-        self._cache_params = params
-        self._cache_was_dummy = is_dummy
+        self._note_cache(bucket, n_active, is_dummy, params)
         return self._cache
 
     def plan(self, x_pad, y_pad, mask, params, bounds, state_mu, state_var, inits, action_prev, iter_ctrl):
+        bucket, n_active, is_dummy, appended, can_extend = self._cache_status(x_pad, y_pad, mask, params)
+        if can_extend and appended == 1:
+            # steady state: extend + plan fused into ONE device call
+            i = self._cache_n
+            self._cache, a_opt, actions_model, info = self._extend_plan(
+                self._cache, jnp.asarray(x_pad[i]), jnp.asarray(y_pad[i]),
+                state_mu, state_var, inits, action_prev, iter_ctrl,
+            )
+            self._note_cache(bucket, n_active, is_dummy, params)
+            return a_opt, actions_model, info
         cache = self.refresh_cache(x_pad, y_pad, mask, params, bounds)
         return self._plan_cached(cache, state_mu, state_var, inits, action_prev, iter_ctrl)
 
