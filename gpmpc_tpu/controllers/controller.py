@@ -169,11 +169,27 @@ class GpMpcController:
             iters=int(tc.iter_train) * 20,
             clip_grad_value=float(tc.clip_grad_value),
         )
-        self._train_fn = jax.jit(
-            lambda params, x, y, mask, key: train_hyperparams(
-                params, self.bounds, x, y, mask, key, self.train_cfg, restarts=int(tc.restarts_train)
+        # Mixed precision: the exact-MLL objective factorizes K + sigma^2 I
+        # whose conditioning grows as the optimizer shrinks the noise — in a
+        # pure-f32 session the loss (and its gradients) degrade exactly when
+        # training starts to succeed. Run training in f64 whenever x64 is
+        # available and cast the (well-scaled, logit-space) raw params back.
+        mixed_train = bool(jax.config.jax_enable_x64) and self.dtype == np.float32
+
+        def _train(params, x, y, mask, key):
+            bounds = self.bounds
+            if mixed_train:
+                params = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+                bounds = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), bounds)
+                x, y = x.astype(jnp.float64), y.astype(jnp.float64)
+            new_params, losses = train_hyperparams(
+                params, bounds, x, y, mask, key, self.train_cfg, restarts=int(tc.restarts_train)
             )
-        )
+            if mixed_train:
+                new_params = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), new_params)
+            return new_params, losses
+
+        self._train_fn = jax.jit(_train)
         self._pending_train = None  # (new_params, losses) device arrays in flight
 
         # --- misc state ---------------------------------------------------

@@ -75,7 +75,9 @@ def _objective_and_info(
         cache, actions_model, state_mu, state_var, iter_ctrl, spec.include_time_model
     )
     rewards, rewards_var = rewards_trajectory(spec.reward, states_mu, states_var, actions_model)
-    ucb = rewards + spec.reward.exploration_factor * jnp.sqrt(rewards_var)
+    # the analytic cost variance is >= 0 exactly but can drift slightly
+    # negative in f32 — an unguarded sqrt would NaN the objective
+    ucb = rewards + spec.reward.exploration_factor * jnp.sqrt(jnp.maximum(rewards_var, 0.0))
     if spec.reward.clip_lower_bound_cost_to_0:
         ucb = ste_clamp(ucb, -jnp.inf, 0.0)
     mean_ucb = jnp.mean(ucb)
@@ -98,7 +100,16 @@ def build_plan_fn(spec: PlanSpec):
     return jax.jit(plan)
 
 
+def _cast_cache(cache: FactorizationCache, dtype) -> FactorizationCache:
+    """Cast the (possibly f64 master) cache to the rollout compute dtype."""
+    return FactorizationCache(*(
+        a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a for a in cache
+    ))
+
+
 def _plan_from_cache(spec: PlanSpec, cache: FactorizationCache, state_mu, state_var, inits, action_prev, iter_ctrl):
+    cache = _cast_cache(cache, state_mu.dtype)
+
     def objective(a):
         cost, _ = _objective_and_info(spec, cache, a, state_mu, state_var, action_prev, iter_ctrl)
         return cost
@@ -152,6 +163,7 @@ def build_extend_plan_fn(spec: PlanSpec):
 
 def build_cached_eval_fn(spec: PlanSpec):
     def evaluate(cache: FactorizationCache, state_mu, state_var, actions_mpc, action_prev, iter_ctrl):
+        cache = _cast_cache(cache, state_mu.dtype)
         cost, info = _objective_and_info(spec, cache, actions_mpc, state_mu, state_var, action_prev, iter_ctrl)
         actions_model = mpc_to_model_actions(spec.action, actions_mpc, action_prev)
         return actions_model, info
@@ -159,7 +171,7 @@ def build_cached_eval_fn(spec: PlanSpec):
     return jax.jit(evaluate)
 
 
-_factorize_jit = jax.jit(masked_cholesky_factorize)
+_factorize_jit = jax.jit(masked_cholesky_factorize, static_argnames=("upcast",))
 _extend_jit = jax.jit(extend_factorization)
 
 
@@ -202,11 +214,45 @@ class Planner:
         self._cache_bucket = -1
         self._cache_params = None  # identity of the GPParams the cache was built with
         self._cache_was_dummy = False
+        self._extend_safe = True
+        self._extend_safe_params = None
 
     def invalidate_cache(self) -> None:
         self._cache = None
 
-    def _cache_status(self, x_pad, y_pad, mask, params):
+    @staticmethod
+    def _upcast_master() -> bool:
+        """Mixed precision: keep the factorization master in f64 whenever the
+        session has x64 available. cond(K + sigma^2 I) reaches ~1e6 once MLL
+        training drives the noise floor down, where f32 factorization /
+        extension error (eps * cond) wrecks GP predictions — while the
+        moment-matched rollout + optimizer are fine in f32. The cache is cast
+        to the compute dtype inside the jitted plan (one N^2 cast)."""
+        return bool(jax.config.jax_enable_x64)
+
+    def _extend_numerically_safe(self, params, bounds, dtype) -> bool:
+        """The O(N^2) rank-1 extension loses ~eps * cond(K) per update —
+        measured catastrophic (30% beta error after ONE update) in f32 once
+        MLL training drives the noise floor to ~1e-6 with cond(K) ~ 1e6.
+        On an f64 master (mixed mode) it is always safe; on a pure-f32
+        session allow it only when eps * cond_estimate is far below one,
+        otherwise every planning step refactorizes."""
+        if self._upcast_master():
+            return True
+        if params is self._extend_safe_params:
+            return self._extend_safe
+        from ..models.gp import constrained_params
+
+        _, outputscale, noise = constrained_params(params, bounds)
+        cond_est = float(np.max(np.asarray(outputscale) / np.asarray(noise))) + 1.0
+        # canonicalize: with jax_enable_x64 off, host float64 arrays are
+        # silently f32 on device — eps must reflect the COMPUTE dtype
+        eps = float(jnp.finfo(jnp.zeros((), dtype=dtype).dtype).eps)
+        self._extend_safe = eps * cond_est < 1e-3
+        self._extend_safe_params = params
+        return self._extend_safe
+
+    def _cache_status(self, x_pad, y_pad, mask, params, bounds=None):
         bucket = int(x_pad.shape[0])
         n_active = int(np.sum(mask))
         is_dummy = bool(n_active == 1 and not np.any(x_pad[0]) and not np.any(y_pad[0]))
@@ -217,6 +263,7 @@ class Planner:
             and bucket == self._cache_bucket
             and not self._cache_was_dummy
             and 0 <= appended <= self._MAX_EXTENDS_PER_STEP
+            and (bounds is None or self._extend_numerically_safe(params, bounds, x_pad.dtype))
         )
         return bucket, n_active, is_dummy, appended, can_extend
 
@@ -228,17 +275,20 @@ class Planner:
 
     def refresh_cache(self, x_pad, y_pad, mask, params, bounds) -> FactorizationCache:
         """Bring the device factorization cache up to date with memory."""
-        bucket, n_active, is_dummy, appended, can_extend = self._cache_status(x_pad, y_pad, mask, params)
+        bucket, n_active, is_dummy, appended, can_extend = self._cache_status(x_pad, y_pad, mask, params, bounds)
         if can_extend:
             for i in range(self._cache_n, n_active):
                 self._cache = _extend_jit(self._cache, jnp.asarray(x_pad[i]), jnp.asarray(y_pad[i]))
         else:
-            self._cache = _factorize_jit(params, bounds, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask))
+            self._cache = _factorize_jit(
+                params, bounds, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask),
+                upcast=self._upcast_master(),
+            )
         self._note_cache(bucket, n_active, is_dummy, params)
         return self._cache
 
     def plan(self, x_pad, y_pad, mask, params, bounds, state_mu, state_var, inits, action_prev, iter_ctrl):
-        bucket, n_active, is_dummy, appended, can_extend = self._cache_status(x_pad, y_pad, mask, params)
+        bucket, n_active, is_dummy, appended, can_extend = self._cache_status(x_pad, y_pad, mask, params, bounds)
         if can_extend and appended == 1:
             # steady state: extend + plan fused into ONE device call
             i = self._cache_n

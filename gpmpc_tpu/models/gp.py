@@ -152,13 +152,27 @@ def masked_cholesky_factorize(
     x: jnp.ndarray,
     y: jnp.ndarray,
     mask: jnp.ndarray,
+    upcast: bool = False,
 ) -> FactorizationCache:
     """Compute (iK, beta) with identity padding on inactive rows.
 
     Equivalent of reference ``calculate_factorizations`` (gp_model.py:400-431)
     on the active block: ``K + sigma^2 I = L L^T``, ``iK = K^-1`` materialized,
     ``beta = K^-1 y``.
+
+    ``upcast=True`` computes AND returns the cache in float64 regardless of
+    input dtype (mixed-precision mode: cond(K + sigma^2 I) reaches ~1e6 once
+    MLL training drives the noise floor down, where f32 factorization error
+    eps*cond ~ 0.1 wrecks the GP predictions; the rollout itself is fine in
+    f32). Requires jax_enable_x64. Callers cast the cache down for the f32
+    compute path (planner.py).
     """
+    if upcast:
+        f64 = jnp.float64
+        params = GPParams(*(p.astype(f64) for p in params))
+        bounds = GPBounds(*(b.astype(f64) for b in bounds))
+        x = x.astype(f64)
+        y = y.astype(f64)
     lengthscales, outputscales, noise = constrained_params(params, bounds)
     n = x.shape[0]
     dtype = x.dtype
@@ -222,6 +236,8 @@ def extend_factorization(cache: FactorizationCache, x_new: jnp.ndarray, y_new: j
     training_frequency steps).
     """
     dtype = cache.x_mem.dtype
+    x_new = x_new.astype(dtype)  # mixed mode: f32 rows extend an f64 master
+    y_new = y_new.astype(dtype)
     n_cap = cache.x_mem.shape[0]
     n = jnp.sum(cache.mask.astype(jnp.int32))  # insert slot
     e = (jnp.arange(n_cap) == n).astype(dtype)  # (N,)
@@ -267,6 +283,13 @@ def _small_spd_inv_det(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Returns (Minv (..., k, k), det (...,)).
     """
     k = M.shape[-1]
+    # Pivot guard: in f32 the propagated state covariance can drift slightly
+    # indefinite, driving a pivot negative and poisoning the whole rollout
+    # with NaN. Clamping at a tiny positive fraction of the row diagonal is
+    # inactive for healthy (and all f64-parity) inputs; when it does fire,
+    # values are already garbage and the optimizer's keep-best / NaN fallback
+    # (reference gp_mpc_controller.py:146-148 semantics) discards them.
+    eps = jnp.asarray(1e-10, M.dtype)
     L = [[None] * k for _ in range(k)]
     for i in range(k):
         for j in range(i + 1):
@@ -274,6 +297,7 @@ def _small_spd_inv_det(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
             for p in range(j):
                 s = s - L[i][p] * L[j][p]
             if i == j:
+                s = jnp.maximum(s, eps * jnp.abs(M[..., i, i]) + jnp.asarray(1e-30, M.dtype))
                 L[i][i] = jnp.sqrt(s)
             else:
                 L[i][j] = s / L[j][j]

@@ -41,7 +41,13 @@ def cov_core_xla(a, c, u, xj, bi, bj, ik, diag_pos):
     """
     import numpy as np
 
-    e = jnp.exp(a[:, :, None] + c[:, None, :] + jnp.einsum("pne,pke->pnk", u, xj))
+    # exponent cap: healthy exponents are <= ~log(outputscale_i*outputscale_j)
+    # <= 0; in f32 the 1e5-magnitude log-domain cancellation (tiny ARD
+    # lengthscales) can misfire upward and overflow exp to inf, which NaNs
+    # the whole rollout. 60 is far above any legitimate value and far below
+    # the f32 overflow threshold (~88).
+    expo = a[:, :, None] + c[:, None, :] + jnp.einsum("pne,pke->pnk", u, xj)
+    e = jnp.exp(jnp.minimum(expo, 60.0))
     s_p = jnp.einsum("pn,pnk,pk->p", bi, e, bj)
     corr = jnp.einsum("mnk,mnk->m", ik, e[np.asarray(diag_pos)])
     return s_p, corr

@@ -44,25 +44,24 @@ def gram_ard_rbf_pallas(lengthscales: jnp.ndarray, outputscales: jnp.ndarray, x:
     grid = (ns, n_pad // tile, n_pad // tile)
 
     def kernel(scale_ref, rows_ref, cols_ref, out_ref):
-        m = pl.program_id(0)
+        # vmap-safety: no pl.program_id (vmap prepends a grid dim and
+        # renumbers ids) — the per-model scale arrives as its own block.
         xi = rows_ref[0]  # (tile, D)
         xj = cols_ref[0]  # (tile, D)
         sq_i = jnp.sum(xi * xi, axis=-1, keepdims=True)  # (tile, 1)
         sq_j = jnp.sum(xj * xj, axis=-1, keepdims=True)  # (tile, 1)
         cross = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32)  # MXU
         d2 = jnp.maximum(sq_i + sq_j.T - 2.0 * cross, 0.0)
-        out_ref[0] = scale_ref[m] * jnp.exp(-0.5 * d2)
+        out_ref[0] = scale_ref[0, 0, 0] * jnp.exp(-0.5 * d2)
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            # full (Ns,) outputscale vector in SMEM (scalar prefetch-style),
-            # indexed by the model grid coordinate inside the kernel
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda m, i, j: (m, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, d), lambda m, i, j: (m, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, d), lambda m, i, j: (m, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, tile), lambda m, i, j: (m, i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ns, n_pad, n_pad), jnp.float32),
-    )(outs32.reshape(ns), xs, xs)[:, :n, :n]
+    )(outs32.reshape(ns, 1, 1), xs, xs)[:, :n, :n]

@@ -89,7 +89,9 @@ def _e_slab(a_ref, c_ref, u_ref, xj_ref):
     bilinear = a_ref[0] + c_ref[0].reshape(1, -1)  # (tn, N) via broadcast
     for e in range(ns):
         bilinear = bilinear + u[:, e:e + 1] * xj[:, e:e + 1].reshape(1, -1)
-    return jnp.exp(bilinear)
+    # exponent cap mirroring cov_core_xla: overflow guard for f32 (healthy
+    # exponents are <= ~0, so this never fires on good inputs)
+    return jnp.exp(jnp.minimum(bilinear, 60.0))
 
 
 def _emit_partial(out_ref, value):

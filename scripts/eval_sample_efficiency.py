@@ -1,0 +1,109 @@
+"""Multi-seed sample-efficiency evaluation via the fused on-device episodes.
+
+The reference's headline claims are cost-vs-interaction curves averaged over
+10-20 serial host runs (reference run_env_function.py:52-72; README.md:99-133
+"Pendulum solved in < 100 interactions"). Here the WHOLE evaluation — every
+episode's warmup, planning, memory, and training — is one vmapped XLA
+program (runner/jit_episode.py), so a 10-seed sweep costs about one
+episode of wall-clock on a TPU.
+
+Usage:
+  python scripts/eval_sample_efficiency.py                    # pendulum, 10 seeds
+  python scripts/eval_sample_efficiency.py --env mountain_car --seeds 5
+
+Prints one JSON line with the mean cost curve summary and the
+interactions-to-solve metric (first step after which the running mean cost
+over a 20-step window stays below the threshold).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "examples", "pendulum"))
+sys.path.insert(0, os.path.join(ROOT, "examples", "mountain_car"))
+os.environ.setdefault("GPMPC_TPU_X64", "0")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="pendulum", choices=["pendulum", "mountain_car"])
+    p.add_argument("--seeds", type=int, default=10)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--threshold", type=float, default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gpmpc_tpu.envs.jax_dynamics import mountain_car_spec, pendulum_spec
+    from gpmpc_tpu.runner import episode_spec_from_config, run_episodes_batch
+
+    if args.env == "pendulum":
+        from config_pendulum import get_config
+
+        cfg = get_config(len_horizon=15)
+        env = pendulum_spec(dtype=jnp.float32)
+        steps = args.steps or 150
+        warmup = 10
+        threshold = args.threshold if args.threshold is not None else 0.05
+    else:
+        from config_mountaincar import get_config
+
+        cfg = get_config(num_repeat_actions=5)
+        env = mountain_car_spec(dtype=jnp.float32)
+        steps = args.steps or 500
+        warmup = 20
+        threshold = args.threshold if args.threshold is not None else 0.12
+
+    cfg.dtype = "float32"
+    spec, params0 = episode_spec_from_config(env, cfg, num_steps=steps, warmup=warmup)
+    keys = jax.random.split(jax.random.PRNGKey(0), args.seeds)
+
+    t0 = time.perf_counter()
+    out = run_episodes_batch(spec, params0, keys)
+    jax.block_until_ready(out["cost"])
+    compile_and_run_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = run_episodes_batch(spec, params0, keys)
+    jax.block_until_ready(out["cost"])
+    steady_run_s = time.perf_counter() - t0
+
+    costs = np.asarray(out["cost"])  # (seeds, steps)
+    mean = costs.mean(axis=0)
+
+    # interactions-to-solve: first t where mean cost over [t, t+20) < threshold
+    window = 20
+    solved_at = None
+    for t in range(0, steps - window):
+        if mean[t : t + window].mean() < threshold:
+            solved_at = t
+            break
+
+    print(
+        json.dumps(
+            {
+                "env": args.env,
+                "seeds": args.seeds,
+                "steps": steps,
+                "mean_cost_last20": round(float(mean[-20:].mean()), 5),
+                "interactions_to_solve": solved_at,
+                "solve_threshold": threshold,
+                "sweep_wall_s": round(steady_run_s, 2),
+                "compile_plus_run_s": round(compile_and_run_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
