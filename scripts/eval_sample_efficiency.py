@@ -35,6 +35,9 @@ def main():
     p.add_argument("--seeds", type=int, default=10)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"],
+                   help="float64 (parity; needs GPMPC_TPU_X64=1) solves reliably; "
+                        "float32 degrades once training sharpens the GP (see PERFORMANCE.md)")
     args = p.parse_args()
 
     import jax
@@ -47,11 +50,12 @@ def main():
     from gpmpc_tpu.envs.jax_dynamics import mountain_car_spec, pendulum_spec
     from gpmpc_tpu.runner import episode_spec_from_config, run_episodes_batch
 
+    fdt = jnp.float64 if args.dtype == "float64" else jnp.float32
     if args.env == "pendulum":
         from config_pendulum import get_config
 
         cfg = get_config(len_horizon=15)
-        env = pendulum_spec(dtype=jnp.float32)
+        env = pendulum_spec(dtype=fdt)
         steps = args.steps or 150
         warmup = 10
         threshold = args.threshold if args.threshold is not None else 0.05
@@ -59,12 +63,12 @@ def main():
         from config_mountaincar import get_config
 
         cfg = get_config(num_repeat_actions=5)
-        env = mountain_car_spec(dtype=jnp.float32)
+        env = mountain_car_spec(dtype=fdt)
         steps = args.steps or 500
         warmup = 20
         threshold = args.threshold if args.threshold is not None else 0.12
 
-    cfg.dtype = "float32"
+    cfg.dtype = args.dtype
     spec, params0 = episode_spec_from_config(env, cfg, num_steps=steps, warmup=warmup)
     keys = jax.random.split(jax.random.PRNGKey(0), args.seeds)
 
@@ -100,6 +104,7 @@ def main():
                 "solve_threshold": threshold,
                 "sweep_wall_s": round(steady_run_s, 2),
                 "compile_plus_run_s": round(compile_and_run_s, 2),
+                "dtype": args.dtype,
             }
         )
     )
