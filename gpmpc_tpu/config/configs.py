@@ -72,6 +72,10 @@ class RewardConfig:
     use_constraints: bool = False
     state_min: ArrayLike = (-0.1, 0.05, 0.05)
     state_max: ArrayLike = (1.1, 0.95, 0.925)
+    # accepted for reference-config compatibility but intentionally unused:
+    # the reference's live get_reward path adds constraint CDF penalties
+    # un-multiplied (setpoint_distance_reward_mapper.py:66); only its dead
+    # get_rewards duplicate applies the multiplier.
     area_multiplier: float = 1.0
     clip_lower_bound_cost_to_0: bool = False
 

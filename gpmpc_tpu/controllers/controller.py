@@ -155,6 +155,11 @@ class GpMpcController:
             maxiter=int(opt.get("maxiter", 30)),
             maxcor=int(opt.get("maxcor", 30)),
             maxls=int(opt.get("maxls", opt.get("maxiter", 30))),
+            # `maxfun` (SciPy total-eval cap) is honored; `eps` is accepted
+            # and unused BY THE REFERENCE TOO — it passes jac=True
+            # (gp_mpc_controller.py:133-139), which makes SciPy skip
+            # finite differences entirely.
+            maxfun=int(opt["maxfun"]) if "maxfun" in opt else None,
         )
         self.planner = Planner(self.plan_spec)
 
@@ -338,11 +343,22 @@ class GpMpcController:
         if self._pending_train is None:
             return
         new_params, losses = self._pending_train
-        ready = True
         try:
             ready = all(leaf.is_ready() for leaf in jax.tree_util.tree_leaves(new_params))
         except Exception:
-            pass
+            # No readiness probe on this array type/backend: integrate
+            # synchronously and say so, instead of silently claiming the
+            # dispatch was async (that would corrupt latency measurements).
+            if not getattr(self, "_warned_no_is_ready", False):
+                self._warned_no_is_ready = True
+                import warnings
+
+                warnings.warn(
+                    "jax arrays expose no is_ready(); training results are "
+                    "integrated with an explicit block_until_ready (synchronous)."
+                )
+            jax.block_until_ready(new_params)
+            ready = True
         if ready:
             self.gp_params = jax.tree_util.tree_map(lambda x: x, new_params)
             self._last_train_losses = np.asarray(losses)

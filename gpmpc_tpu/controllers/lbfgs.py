@@ -38,6 +38,7 @@ class _LbfgsState(NamedTuple):
     gamma: jnp.ndarray  # H0 scaling
     best_x: jnp.ndarray
     best_f: jnp.ndarray
+    evals: jnp.ndarray  # int32 — sequential-equivalent objective evals (SciPy nfev)
 
 
 def _two_loop(state: _LbfgsState, q: jnp.ndarray, maxcor: int) -> jnp.ndarray:
@@ -86,7 +87,11 @@ def _line_search(
     this converts the latency-bound trial chain into MXU-friendly batched
     work.
 
-    Returns (x_new, f_new, g_new, success). On total failure keeps x.
+    Returns (x_new, f_new, g_new, success, consumed) where ``consumed`` is
+    the number of objective evaluations an equivalent *sequential*
+    backtracking search would have spent (first-accept index + 1, or maxls
+    on failure) — used to honor SciPy's ``maxfun`` total-eval budget.
+    On total failure keeps x.
     """
 
     def project(z):
@@ -109,7 +114,8 @@ def _line_search(
     x_new = jnp.where(success, x_trials[idx], x)
     f_new = jnp.where(success, f_trials[idx], f)
     g_new = jnp.where(success, g_trials[idx], g)
-    return x_new, f_new, g_new, success
+    consumed = jnp.where(success, first + 1, maxls).astype(jnp.int32)
+    return x_new, f_new, g_new, success, consumed
 
 
 def _lbfgs_core(
@@ -123,6 +129,7 @@ def _lbfgs_core(
     clip_grad_value: Optional[float],
     keep_best: bool,
     has_bounds: bool,
+    maxfun: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     vg_raw = jax.value_and_grad(fun)
 
@@ -158,6 +165,7 @@ def _lbfgs_core(
         gamma=jnp.asarray(1.0, dtype),
         best_x=x0,
         best_f=f0,
+        evals=jnp.asarray(1, jnp.int32),  # SciPy counts the initial (f, g) eval
     )
 
     def step_fn(state: _LbfgsState, _):
@@ -167,10 +175,22 @@ def _lbfgs_core(
         descent = jnp.dot(direction, state.g) < 0
         direction = jnp.where(descent, direction, -pg)
 
-        x_new, f_new, g_new, success = _line_search(
+        x_new, f_new, g_new, success, consumed = _line_search(
             vg, state.x, state.f, state.g, direction, lower if has_bounds else None,
             upper if has_bounds else None, maxls,
         )
+
+        # SciPy L-BFGS-B's `maxfun` total-evaluation budget (the reference
+        # passes maxfun == maxiter in every example config, so it BINDS
+        # before maxiter does): once the sequential-equivalent eval count
+        # exceeds maxfun, further iterations leave the state untouched.
+        if maxfun is not None:
+            frozen = state.evals > maxfun
+            x_new = jnp.where(frozen, state.x, x_new)
+            f_new = jnp.where(frozen, state.f, f_new)
+            g_new = jnp.where(frozen, state.g, g_new)
+            success = jnp.logical_and(success, jnp.logical_not(frozen))
+            consumed = jnp.where(frozen, 0, consumed)
 
         s = x_new - state.x
         y = g_new - state.g
@@ -192,7 +212,7 @@ def _lbfgs_core(
         new_state = _LbfgsState(
             x=x_new, f=f_new, g=g_new,
             s_hist=s_hist, y_hist=y_hist, rho=rho, valid=valid, head=head, gamma=gamma,
-            best_x=best_x, best_f=best_f,
+            best_x=best_x, best_f=best_f, evals=state.evals + consumed,
         )
         return new_state, None
 
@@ -213,10 +233,12 @@ def lbfgs_minimize(
     maxls: int = 12,
     clip_grad_value: Optional[float] = None,
     keep_best: bool = False,
+    maxfun: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Unconstrained L-BFGS. Returns (x, f) — best-ever if keep_best."""
     return _lbfgs_core(
-        fun, x0, None, None, int(maxiter), int(maxcor), int(maxls), clip_grad_value, bool(keep_best), False
+        fun, x0, None, None, int(maxiter), int(maxcor), int(maxls), clip_grad_value, bool(keep_best), False,
+        maxfun=None if maxfun is None else int(maxfun),
     )
 
 
@@ -229,8 +251,15 @@ def lbfgs_b_minimize(
     maxcor: int = 10,
     maxls: int = 12,
     keep_best: bool = True,
+    maxfun: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Box-constrained L-BFGS (projected). Returns (x, f)."""
+    """Box-constrained L-BFGS (projected). Returns (x, f).
+
+    ``maxfun`` is SciPy's total-objective-evaluation cap (reference
+    gp_mpc_controller.py:133-139 forwards it in actions_optimizer_params);
+    ``eps`` has no equivalent here because the reference passes jac=True,
+    which makes SciPy ignore eps as well (it is a finite-difference step)."""
     return _lbfgs_core(
-        fun, x0, lower, upper, int(maxiter), int(maxcor), int(maxls), None, bool(keep_best), True
+        fun, x0, lower, upper, int(maxiter), int(maxcor), int(maxls), None, bool(keep_best), True,
+        maxfun=None if maxfun is None else int(maxfun),
     )

@@ -49,6 +49,9 @@ class PlanSpec(NamedTuple):
     maxiter: int
     maxcor: int
     maxls: int
+    # SciPy total-eval budget; None = uncapped. The reference's example
+    # configs all pass maxfun == maxiter (gp_mpc_controller.py:133-139).
+    maxfun: Optional[int] = None
 
 
 class TrajectoryInfo(NamedTuple):
@@ -121,6 +124,7 @@ def _plan_from_cache(spec: PlanSpec, cache: FactorizationCache, state_mu, state_
         return lbfgs_b_minimize(
             objective, a0, lower, upper,
             maxiter=spec.maxiter, maxcor=spec.maxcor, maxls=spec.maxls, keep_best=True,
+            maxfun=spec.maxfun,
         )
 
     xs, fs = jax.vmap(one_restart)(inits)  # (R, n), (R,)

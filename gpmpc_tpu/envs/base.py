@@ -49,6 +49,16 @@ class EnvBase:
     def render(self, mode="human"):
         return None
 
+    @staticmethod
+    def _fig_to_rgb(fig) -> "np.ndarray":
+        """Rasterize a matplotlib figure to an (H, W, 3) uint8 frame —
+        backs the built-in envs' render(mode='rgb_array'), which feeds the
+        episode video capture (reference records mp4 via gym VideoRecorder,
+        visu_object.py:56)."""
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())
+        return buf[:, :, :3].copy()
+
     def close(self):
         return None
 

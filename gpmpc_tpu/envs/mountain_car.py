@@ -51,3 +51,24 @@ class MountainCarContinuousEnv(EnvBase):
 
         self.state = np.array([position, velocity])
         return self.state.copy(), reward, done, {}
+
+    def render(self, mode="human"):
+        if mode != "rgb_array":
+            return None
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        pos = float(self.state[0])
+        xs = np.linspace(self.min_position, self.max_position, 100)
+        ys = np.sin(3 * xs) * 0.45 + 0.55
+        fig, ax = plt.subplots(figsize=(3.2, 2.0), dpi=80)
+        ax.plot(xs, ys, color="k", lw=1)
+        ax.plot([pos], [np.sin(3 * pos) * 0.45 + 0.55], marker="o", markersize=8, color="tab:red")
+        gx = self.goal_position
+        ax.plot([gx, gx], [np.sin(3 * gx) * 0.45 + 0.55, np.sin(3 * gx) * 0.45 + 0.75], color="g", lw=2)
+        ax.axis("off")
+        frame = self._fig_to_rgb(fig)
+        plt.close(fig)
+        return frame

@@ -56,3 +56,24 @@ class PendulumEnv(EnvBase):
     def _get_obs(self):
         th, thdot = self.state
         return np.array([np.cos(th), np.sin(th), thdot])
+
+    def render(self, mode="human"):
+        if mode != "rgb_array":
+            return None
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        th = float(self.state[0])
+        fig, ax = plt.subplots(figsize=(2.4, 2.4), dpi=80)
+        # gym draws the rod tip at (sin th, cos th): upright = up
+        ax.plot([0, np.sin(th)], [0, np.cos(th)], lw=6, color="#8b4513", solid_capstyle="round")
+        ax.add_patch(plt.Circle((0, 0), 0.05, color="k"))
+        ax.set_xlim(-1.2, 1.2)
+        ax.set_ylim(-1.2, 1.2)
+        ax.set_aspect("equal")
+        ax.axis("off")
+        frame = self._fig_to_rgb(fig)
+        plt.close(fig)
+        return frame

@@ -108,6 +108,26 @@ class ProcessControl(EnvBase):
             self.define_params()
         return self.get_obs(), reward, False, {}
 
+    def render(self, mode="human"):
+        if mode != "rgb_array":
+            return None
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        level = float(self.v / self.s) / float(self.observation_space.high[0])
+        conc = float(self.r / (self.v + 1e-6)) / float(self.observation_space.high[1])
+        fig, ax = plt.subplots(figsize=(2.4, 2.4), dpi=80)
+        ax.bar([0, 1], [level, conc], color=["tab:blue", "tab:orange"], width=0.6)
+        ax.axhline(self.sp_l, xmin=0.05, xmax=0.45, color="tab:blue", ls="--", lw=1)
+        ax.axhline(self.sp_co, xmin=0.55, xmax=0.95, color="tab:orange", ls="--", lw=1)
+        ax.set_xticks([0, 1], ["level", "conc"])
+        ax.set_ylim(0, 1)
+        frame = self._fig_to_rgb(fig)
+        plt.close(fig)
+        return frame
+
     def get_obs(self):
         lo, hi = self.observation_space.low, self.observation_space.high
         l_mes = self.v / self.s

@@ -66,10 +66,15 @@ def reward_single(spec: RewardSpec, state_mu, state_var, action) -> Tuple[jnp.nd
     cost_mu, cost_var = _quad_cost(error, sa_var, spec.weight_matrix_cost)
 
     if spec.use_constraints:
+        # The reference's live code path (get_reward, used by
+        # get_rewards_trajectory — setpoint_distance_reward_mapper.py:58-66)
+        # adds the CDF penalties WITHOUT area_multiplier; only the dead
+        # near-duplicate get_rewards applies it. Match the live path exactly
+        # (same policy as the variance-as-sigma quirk below).
         var_diag = jnp.diagonal(state_var)
         pen_min = _normal_cdf(spec.state_min, state_mu, var_diag)
         pen_max = 1.0 - _normal_cdf(spec.state_max, state_mu, var_diag)
-        cost_mu = cost_mu + spec.area_multiplier * (pen_max.sum() + pen_min.sum())
+        cost_mu = cost_mu + pen_max.sum() + pen_min.sum()
 
     return -cost_mu, cost_var
 

@@ -153,11 +153,23 @@ class Memory:
 
     def prepare_for_model(self) -> None:
         """Materialize model inputs/targets from unprocessed transitions
-        (reference gp_memory.py:66-83)."""
-        idxs = np.arange(self.len_mem_last_processed, self.len_mem, self.step_model)
-        idxs = idxs[self.active_data_mask[idxs]]
-        # targets need states_next[i + step_model - 1]
-        idxs = idxs[idxs + self.step_model - 1 < self.len_mem]
+        (reference gp_memory.py:66-83).
+
+        Unlike the reference — which only ever calls this at planning steps
+        aligned to ``num_repeat_actions`` and can therefore blindly advance
+        ``len_mem_last_processed`` to ``len_mem`` — this may also be called
+        at training triggers that are NOT stride-aligned (the controller
+        trains every ``training_frequency`` env steps). So the watermark only
+        advances past stride-aligned candidates whose ``step_model`` target
+        window ``s[t + step_model - 1]`` is already complete; incomplete ones
+        stay unprocessed and are picked up (at the same aligned offsets) on a
+        later call. Invariant: ``len_mem_last_processed % step_model == 0``,
+        which keeps ``get_indexes_processed`` (stride from 0) consistent.
+        """
+        cand = np.arange(self.len_mem_last_processed, self.len_mem, self.step_model)
+        # complete-window candidates form a prefix of `cand` (it is increasing)
+        complete = cand[cand + self.step_model - 1 < self.len_mem]
+        idxs = complete[self.active_data_mask[complete]]
         n_add = len(idxs)
         while len(self.model_inputs) < self.len_mem_model + n_add:
             self._grow_model()
@@ -167,7 +179,8 @@ class Memory:
                 self.states_next[idxs + self.step_model - 1] - self.inputs[idxs, : self.dim_state]
             )
         self.len_mem_model += n_add
-        self.len_mem_last_processed = self.len_mem
+        if len(complete):
+            self.len_mem_last_processed = int(complete[-1]) + self.step_model
 
     # ------------------------------------------------------------------
     def get(self) -> Tuple[np.ndarray, np.ndarray]:

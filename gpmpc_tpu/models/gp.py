@@ -609,6 +609,7 @@ def train_hyperparams(
     key: jnp.ndarray,
     cfg: TrainConfigDevice,
     restarts: int = 1,
+    keys: jnp.ndarray | None = None,
 ) -> Tuple[GPParams, jnp.ndarray]:
     """On-device MLL hyperparameter optimization with keep-best semantics.
 
@@ -620,6 +621,10 @@ def train_hyperparams(
     (the reference loops over models; here they are vmapped), and
     ``restarts`` independent re-inits per model run in parallel too
     (restarts=1 matches the reference's single random re-init).
+
+    ``keys`` optionally supplies the pre-split (restarts, Ns, key) batch —
+    e.g. with a restart-axis sharding constraint attached (parallel/sharding
+    .build_sharded_train_fn) — in which case ``key`` is unused.
 
     Returns (best_params, best_losses (Ns,)).
     """
@@ -662,7 +667,8 @@ def train_hyperparams(
         )
         return best_x, best_f
 
-    keys = jax.random.split(key, ns * restarts).reshape(restarts, ns, -1)
+    if keys is None:
+        keys = jax.random.split(key, ns * restarts).reshape(restarts, ns, -1)
     models = jnp.arange(ns)
     # vmap over models, then over restarts.
     raws, losses = jax.vmap(lambda ks: jax.vmap(one_train)(models, ks))(keys)  # (R, Ns, D+2), (R, Ns)

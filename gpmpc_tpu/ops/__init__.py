@@ -7,8 +7,27 @@
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time switch: a pallas_call inside a GSPMD-partitioned program is not
+# partitioned over the mesh (it would need shard_map), so the N-sharded
+# planner traces with Pallas dispatch disabled and uses the XLA paths, which
+# the partitioner handles (parallel/sharding.build_nsharded_plan_fn).
+_PALLAS_DISABLED = False
+
+
+@contextlib.contextmanager
+def disable_pallas():
+    global _PALLAS_DISABLED
+    prev = _PALLAS_DISABLED
+    _PALLAS_DISABLED = True
+    try:
+        yield
+    finally:
+        _PALLAS_DISABLED = prev
 
 
 def gram(lengthscales, outputscales, x, use_pallas: bool | None = None):
@@ -18,6 +37,7 @@ def gram(lengthscales, outputscales, x, use_pallas: bool | None = None):
         use_pallas = (
             x.dtype == jnp.float32
             and jax.default_backend() not in ("cpu",)
+            and not _PALLAS_DISABLED
         )
     if use_pallas:
         from .pallas_gram import gram_ard_rbf_pallas
@@ -64,6 +84,7 @@ def cov_core(a, c, u, xj, bi, bj, ik, diag_pos, use_pallas: bool | None = None):
             and jax.default_backend() not in ("cpu",)
             and supported(n)
             and n >= PALLAS_COV_MIN_N
+            and not _PALLAS_DISABLED
         )
     if use_pallas:
         from .pallas_moment_cov import cov_core_pallas
@@ -72,4 +93,4 @@ def cov_core(a, c, u, xj, bi, bj, ik, diag_pos, use_pallas: bool | None = None):
     return cov_core_xla(a, c, u, xj, bi, bj, ik, diag_pos)
 
 
-__all__ = ["cov_core", "cov_core_xla", "gram", "PALLAS_COV_MIN_N"]
+__all__ = ["cov_core", "cov_core_xla", "disable_pallas", "gram", "PALLAS_COV_MIN_N"]

@@ -29,8 +29,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..controllers.lbfgs import lbfgs_b_minimize
-from ..controllers.planner import PlanSpec, _objective_and_info
+from ..controllers.planner import PlanSpec, _objective_and_info, _plan_from_cache
 from ..models.gp import (
+    FactorizationCache,
     GPBounds,
     GPParams,
     TrainConfigDevice,
@@ -39,9 +40,21 @@ from ..models.gp import (
 )
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "restarts") -> Mesh:
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "restarts", backend: str | None = None) -> Mesh:
+    """1-D device mesh. If the default backend has fewer devices than
+    requested (e.g. one real TPU chip but an 8-wide dry run), fall back to
+    the virtual CPU devices created by xla_force_host_platform_device_count."""
+    devices = jax.devices(backend) if backend else jax.devices()
+    if n_devices is not None and len(devices) < n_devices and backend is None:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n_devices:
+            devices = cpu
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), axis_names=(axis,))
 
@@ -83,6 +96,56 @@ def build_sharded_plan_fn(spec: PlanSpec, mesh: Mesh, axis: str = "restarts"):
     return jax.jit(plan, out_shardings=(replicated, replicated))
 
 
+def shard_cache_n(cache: FactorizationCache, mesh: Mesh, axis: str = "n") -> FactorizationCache:
+    """Constrain the factorization cache's stored-point axis N across the mesh.
+
+    N is where single-chip planning latency actually dies (the (P, N, N)
+    moment-matching kernel-matrix traffic and the O(N^3) factorization —
+    PERFORMANCE.md scaling table), and it partitions cleanly: every rollout
+    contraction reduces over N, so GSPMD turns them into per-device partial
+    contractions + small psums (S_p/corr partials, M/V row sums). Buckets are
+    multiples of 32, so they divide an 8-wide mesh evenly.
+    """
+
+    def c(a, spec):
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    return cache._replace(
+        x_mem=c(cache.x_mem, P(axis, None)),
+        mask=c(cache.mask, P(axis)),
+        iK=c(cache.iK, P(None, axis, None)),
+        beta=c(cache.beta, P(None, axis)),
+        L=c(cache.L, P(None, axis, None)),
+        y_mem=c(cache.y_mem, P(axis, None)),
+    )
+
+
+def build_nsharded_plan_fn(spec: PlanSpec, mesh: Mesh, axis: str = "n"):
+    """Planning step with the MEMORY axis (stored GP points) sharded.
+
+    Same signature/result as controllers/planner.build_plan_fn. The
+    factorization's Cholesky stays gathered (it does not partition), but
+    everything downstream — the (P, N, N) pairwise kernel matrix, the
+    lb/M/V/S contractions, beta matvecs — runs on N/n_devices-sized shards
+    with psum reductions riding ICI. Pallas dispatch is disabled at trace
+    time (a pallas_call is not GSPMD-partitioned); the XLA cov core is used.
+    """
+    from ..ops import disable_pallas
+
+    def plan(x_pad, y_pad, mask, params: GPParams, bounds: GPBounds, state_mu, state_var, inits, action_prev, iter_ctrl):
+        cache = masked_cholesky_factorize(params, bounds, x_pad, y_pad, mask)
+        cache = shard_cache_n(cache, mesh, axis)
+        return _plan_from_cache(spec, cache, state_mu, state_var, inits, action_prev, iter_ctrl)
+
+    jitted = jax.jit(plan)
+
+    def call(*args):
+        with disable_pallas():  # dispatch decisions happen at trace time
+            return jitted(*args)
+
+    return call
+
+
 def build_sharded_train_fn(bounds: GPBounds, cfg: TrainConfigDevice, mesh: Mesh, restarts: int, axis: str = "restarts"):
     """Hyperparameter training with the restart axis sharded across the mesh.
 
@@ -90,16 +153,13 @@ def build_sharded_train_fn(bounds: GPBounds, cfg: TrainConfigDevice, mesh: Mesh,
     constraining the key batch's sharding data-parallelizes the per-restart
     L-BFGS chains across devices.
     """
-    restart_sharded = NamedSharding(mesh, P(axis))
+    restart_sharded = NamedSharding(mesh, P(axis, None, None))
 
     def train(params: GPParams, x, y, mask, key):
-        keys = jax.random.split(key, restarts)
+        ns = params.raw_lengthscales.shape[0]
+        keys = jax.random.split(key, ns * restarts).reshape(restarts, ns, -1)
         keys = jax.lax.with_sharding_constraint(keys, restart_sharded)
-
-        # inline the body of train_hyperparams but with pre-sharded keys:
-        # we reuse it directly — its vmap over restarts composes with the
-        # sharding constraint on the key batch derived from `key`.
-        return train_hyperparams(params, bounds, x, y, mask, key, cfg, restarts=restarts)
+        return train_hyperparams(params, bounds, x, y, mask, key, cfg, restarts=restarts, keys=keys)
 
     return jax.jit(train)
 
@@ -171,15 +231,40 @@ def dryrun_training_step(n_devices: int, dtype=jnp.float64) -> None:
     inits = jnp.asarray(rng.uniform(0, 1, (n_devices, nh * na)), dtype=dtype)
     action_prev = jnp.asarray(np.full(na, 0.5), dtype=dtype)
 
+    # ---- unsharded references (single device, same math) -----------------
+    from ..controllers.planner import build_plan_fn
+
+    ref_plan = build_plan_fn(plan_spec)
+    a_ref, info_ref = ref_plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)[0::2]
+    train_cfg = TrainConfigDevice(lr=7e-3, iters=2, clip_grad_value=1e-1)
+    ref_params, ref_losses = jax.jit(
+        lambda p, xx, yy, mm, k: train_hyperparams(p, bounds, xx, yy, mm, k, train_cfg, restarts=n_devices)
+    )(params, x, y, mask, jax.random.PRNGKey(0))
+
     with mesh:
+        # restart-sharded planning must equal the replicated planner
         plan_fn = build_sharded_plan_fn(plan_spec, mesh)
         a_opt, info = plan_fn(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)
         jax.block_until_ready(a_opt)
+        assert a_opt.shape == (nh * na,)
+        np.testing.assert_allclose(np.asarray(a_opt), np.asarray(a_ref), atol=1e-8)
 
-        train_cfg = TrainConfigDevice(lr=7e-3, iters=2, clip_grad_value=1e-1)
+    # memory-axis (N) sharded planning must equal it too (own 1-D mesh
+    # with the conventional "n" axis name, same devices)
+    mesh_n = make_mesh(n_devices, axis="n")
+    with mesh_n:
+        nplan_fn = build_nsharded_plan_fn(plan_spec, mesh_n)
+        a_n, _, info_n = nplan_fn(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)
+        jax.block_until_ready(a_n)
+        np.testing.assert_allclose(np.asarray(a_n), np.asarray(a_ref), atol=1e-8)
+
+    with mesh:
+
+        # restart-sharded training must equal unsharded keep-best training
         train_fn = build_sharded_train_fn(bounds, train_cfg, mesh, restarts=n_devices)
         new_params, losses = train_fn(params, x, y, mask, jax.random.PRNGKey(0))
         jax.block_until_ready(losses)
-
-    assert a_opt.shape == (nh * na,)
-    assert np.all(np.isfinite(np.asarray(losses)))
+        assert np.all(np.isfinite(np.asarray(losses)))
+        np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_losses), atol=1e-8)
+        for got, want in zip(jax.tree_util.tree_leaves(new_params), jax.tree_util.tree_leaves(ref_params)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-8)

@@ -133,9 +133,15 @@ class EpisodeSpec(NamedTuple):
     init_from_previous_actions: bool
     include_time_model: bool
     dtype: object
+    # test hook: replace random L-BFGS inits / warmup action sequences with
+    # 0.5-constants so the fused path can be compared step-for-step against
+    # the host controller (tests/test_cross_path.py)
+    deterministic_inits: bool = False
 
 
-def episode_spec_from_config(env: JaxEnvSpec, config: Config, num_steps: int, warmup: int, cap=None) -> Tuple[EpisodeSpec, GPParams]:
+def episode_spec_from_config(
+    env: JaxEnvSpec, config: Config, num_steps: int, warmup: int, cap=None, deterministic_inits: bool = False
+) -> Tuple[EpisodeSpec, GPParams]:
     dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
     ns = len(env.obs_low)
     na = len(env.act_low)
@@ -192,6 +198,7 @@ def episode_spec_from_config(env: JaxEnvSpec, config: Config, num_steps: int, wa
         maxiter=int(opt.get("maxiter", 30)),
         maxcor=int(opt.get("maxcor", 30)),
         maxls=int(opt.get("maxls", opt.get("maxiter", 30))),
+        maxfun=int(opt["maxfun"]) if "maxfun" in opt else None,
     )
     tc = config.training
     train_cfg = TrainConfigDevice(
@@ -216,6 +223,7 @@ def episode_spec_from_config(env: JaxEnvSpec, config: Config, num_steps: int, wa
         init_from_previous_actions=bool(config.controller.init_from_previous_actions),
         include_time_model=bool(config.model.include_time_model),
         dtype=dtype,
+        deterministic_inits=bool(deterministic_inits),
     )
     return spec, params0
 
@@ -251,7 +259,10 @@ def build_episode_fn(spec: EpisodeSpec):
             return cost
 
         k_init, k_warm = jax.random.split(key)
-        inits = jax.random.uniform(k_init, (spec.restarts_optim, n_flat), dtype)
+        if spec.deterministic_inits:
+            inits = jnp.full((spec.restarts_optim, n_flat), 0.5, dtype)
+        else:
+            inits = jax.random.uniform(k_init, (spec.restarts_optim, n_flat), dtype)
         if spec.init_from_previous_actions:
             warm = jnp.concatenate([prev_mpc[na:], prev_mpc[-na:]])
             inits = inits.at[0].set(jnp.where(have_prev, warm, inits[0]))
@@ -263,6 +274,7 @@ def build_episode_fn(spec: EpisodeSpec):
             return lbfgs_b_minimize(
                 objective, a0, lower, upper,
                 maxiter=spec.plan.maxiter, maxcor=spec.plan.maxcor, maxls=spec.plan.maxls, keep_best=True,
+                maxfun=spec.plan.maxfun,
             )
 
         xs, fs = jax.vmap(one)(inits)
@@ -289,7 +301,10 @@ def build_episode_fn(spec: EpisodeSpec):
             mem2 = memory_prepare(mem, spec.num_repeat_actions, ns)
             random_step = t < spec.warmup
 
-            rand_mpc = jax.random.uniform(k_rand, (n_flat,), dtype)
+            if spec.deterministic_inits:
+                rand_mpc = jnp.full((n_flat,), 0.5, dtype)
+            else:
+                rand_mpc = jax.random.uniform(k_rand, (n_flat,), dtype)
 
             def plan_branch(_):
                 return plan_actions(mem2, params, state_mu, prev_mpc, have_prev, action_model_prev, t, k_plan)
@@ -370,6 +385,8 @@ def build_episode_fn(spec: EpisodeSpec):
         )
         carry, outs = lax.scan(step, carry, jnp.arange(spec.num_steps, dtype=jnp.int32))
         outs["final_params"] = carry[3]
+        outs["final_obs"] = carry[1]  # obs AFTER the last step
+        outs["final_mem"] = carry[2]  # full MemoryState (cross-path equivalence checks)
         return outs
 
     return jax.jit(episode)

@@ -42,7 +42,12 @@ def _posterior_mean_std(ctrl_obj, x_query: np.ndarray):
     return np.asarray(mean), np.asarray(std)
 
 
-def save_plot_model_3d(ctrl_obj, folder_save: str, grid: int = 50) -> str:
+def save_plot_model_3d(ctrl_obj, folder_save: str, grid: int = 50, plot_points_memory: bool = True) -> str:
+    """Full reference parity (static_3d_graph.py:20-136): per output dim,
+    GP mean + std contour3D surfaces over the 2 most important inputs,
+    stored (green x) vs filtered-out (black x) memory scatter, trajectory
+    quivers through consecutive transitions, and a prediction-error scatter
+    on the std panel."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -55,6 +60,12 @@ def save_plot_model_3d(ctrl_obj, folder_save: str, grid: int = 50) -> str:
     dim_state = ctrl_obj.dim_state
     dim_input = ctrl_obj.dim_input
 
+    # all processed points (stored AND filtered-out) + the filter mask
+    # (reference uses memory.get_memory_total()/get_mask_model_inputs())
+    inputs_total, targets_total = ctrl_obj.memory.get_memory_total()
+    active_mask = np.asarray(ctrl_obj.memory.get_mask_model_inputs()[: len(inputs_total)], dtype=bool)
+    have_total = len(inputs_total) >= 2 and len(active_mask) == len(inputs_total)
+
     try:
         from sklearn.neighbors import KNeighborsRegressor
         from sklearn.pipeline import Pipeline
@@ -63,6 +74,14 @@ def save_plot_model_3d(ctrl_obj, folder_save: str, grid: int = 50) -> str:
         have_sklearn = True
     except Exception:
         have_sklearn = False
+
+    # posterior at every processed point -> |error| scatter on the std panel
+    # (reference static_3d_graph.py:120-136)
+    if plot_points_memory and have_total:
+        mean_total, _ = _posterior_mean_std(ctrl_obj, np.asarray(inputs_total, dtype=float))
+        errors_total = np.abs(mean_total.T - np.asarray(targets_total, dtype=float))  # (Ntot, Ns)
+    else:
+        errors_total = None
 
     fig = plt.figure(figsize=(6 * dim_state, 10))
     for m in range(dim_state):
@@ -88,7 +107,6 @@ def save_plot_model_3d(ctrl_obj, folder_save: str, grid: int = 50) -> str:
 
         ax1 = fig.add_subplot(2, dim_state, m + 1, projection="3d")
         ax1.contour3D(G0, G1, mean[m].reshape(grid, grid), 50, cmap="viridis")
-        ax1.scatter(x_mem[:, i0], x_mem[:, i1], y_mem[:, m], c="g", s=6)
         ax1.set_title(f"GP mean — output {m}")
         ax1.set_xlabel(f"input {i0}")
         ax1.set_ylabel(f"input {i1}")
@@ -98,6 +116,35 @@ def save_plot_model_3d(ctrl_obj, folder_save: str, grid: int = 50) -> str:
         ax2.set_title(f"GP std — output {m}")
         ax2.set_xlabel(f"input {i0}")
         ax2.set_ylabel(f"input {i1}")
+
+        if plot_points_memory and have_total:
+            xt = np.asarray(inputs_total, dtype=float)
+            yt = np.asarray(targets_total, dtype=float)
+            # stored points (green) and filtered-out points (black) on the
+            # mean panel (reference static_3d_graph.py:96-110)
+            ax1.scatter(xt[active_mask, i0], xt[active_mask, i1], yt[active_mask, m], marker="x", c="g")
+            if np.any(~active_mask):
+                ax1.scatter(xt[~active_mask, i0], xt[~active_mask, i1], yt[~active_mask, m], marker="x", c="k")
+            # trajectory quivers: arrows between consecutive transitions
+            # (reference static_3d_graph.py:112-118)
+            ax1.quiver(
+                xt[:-1, i0], xt[:-1, i1], yt[:-1, m],
+                xt[1:, i0] - xt[:-1, i0], xt[1:, i1] - xt[:-1, i1], yt[1:, m] - yt[:-1, m],
+                color="k", linestyle="solid", alpha=0.3, arrow_length_ratio=0.001, length=0.9,
+            )
+            # prediction-error scatter + quivers on the std panel
+            # (reference static_3d_graph.py:120-136)
+            err = errors_total[:, m]
+            ax2.scatter(xt[active_mask, i0], xt[active_mask, i1], err[active_mask], marker="x", c="g")
+            if np.any(~active_mask):
+                ax2.scatter(xt[~active_mask, i0], xt[~active_mask, i1], err[~active_mask], marker="x", c="k")
+            ax2.quiver(
+                xt[:-1, i0], xt[:-1, i1], err[:-1],
+                xt[1:, i0] - xt[:-1, i0], xt[1:, i1] - xt[:-1, i1], err[1:] - err[:-1],
+                color="k", linestyle="solid", alpha=0.3, arrow_length_ratio=0.001, length=0.9,
+            )
+        else:
+            ax1.scatter(x_mem[:, i0], x_mem[:, i1], y_mem[:, m], c="g", s=6)
 
     os.makedirs(folder_save, exist_ok=True)
     path = os.path.join(folder_save, "model_3d.png")

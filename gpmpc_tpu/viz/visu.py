@@ -35,6 +35,12 @@ class ControlVisualizations:
         stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
         self.folder_save = os.path.join(visu_config.folder_save, str(env_name), stamp)
 
+        # env video capture (reference records mp4 via gym VideoRecorder,
+        # visu_object.py:56); frames are collected per update() and written
+        # as render_env.mp4 (gif fallback when no ffmpeg backend) on save()
+        self._frames: List[np.ndarray] = []
+        self._capture_video = bool(visu_config.save_render_env)
+
         self._live = None
         if visu_config.render_live_plot_2d:
             try:
@@ -80,12 +86,62 @@ class ControlVisualizations:
             except Exception:
                 pass
 
+        if self._capture_video:
+            frame = self._render_frame()
+            if frame is not None:
+                self._frames.append(frame)
+
+    def _render_frame(self) -> Optional[np.ndarray]:
+        """Grab one rgb frame, tolerating gym-0.17 (render(mode=...)),
+        gymnasium (render_mode attr), and the built-in envs."""
+        env = self.env
+        if not hasattr(env, "render"):
+            return None
+        try:
+            frame = env.render(mode="rgb_array")
+        except TypeError:
+            try:
+                frame = env.render()
+            except Exception:
+                return None
+        except Exception:
+            return None
+        if frame is None:
+            return None
+        frame = np.asarray(frame)
+        if frame.ndim != 3 or frame.shape[2] < 3:
+            return None
+        return frame[:, :, :3].astype(np.uint8)
+
+    def _save_video(self) -> Optional[str]:
+        if not self._frames:
+            return None
+        # imageio needs uniform frame shapes; crop to the smallest
+        h = min(f.shape[0] for f in self._frames)
+        w = min(f.shape[1] for f in self._frames)
+        frames = [f[:h, :w] for f in self._frames]
+        import imageio
+
+        path_mp4 = os.path.join(self.folder_save, "render_env.mp4")
+        try:
+            imageio.mimsave(path_mp4, frames, fps=20)
+            return path_mp4
+        except Exception:
+            path_gif = os.path.join(self.folder_save, "render_env.gif")
+            imageio.mimsave(path_gif, frames, fps=20)
+            return path_gif
+
     def get_costs(self) -> List[float]:
         return [-r for r in self.rewards]
 
     # ------------------------------------------------------------------
     def save(self, ctrl_obj=None) -> None:
         os.makedirs(self.folder_save, exist_ok=True)
+        if self._capture_video:
+            try:
+                self._save_video()
+            except Exception as exc:  # pragma: no cover
+                print(f"env video save failed: {exc}")
         from .static_2d import save_plot_2d
 
         save_plot_2d(

@@ -108,7 +108,7 @@ def predict_trajectory(
     return mus, vars_
 
 
-def reward(state_mu, state_var, action, target_sa, W, use_constraints=False, state_min=None, state_max=None, area_multiplier=1.0):
+def reward(state_mu, state_var, action, target_sa, W, use_constraints=False, state_min=None, state_max=None):
     """Stage reward (reference setpoint_distance_reward_mapper.py:12-68)."""
     ns = len(state_mu)
     na = len(action)
@@ -124,7 +124,9 @@ def reward(state_mu, state_var, action, target_sa, W, use_constraints=False, sta
         sig = np.diag(state_var)
         cdf_min = 0.5 * (1 + erf((state_min - state_mu) / (sig * np.sqrt(2))))
         cdf_max = 0.5 * (1 + erf((state_max - state_mu) / (sig * np.sqrt(2))))
-        cost_mu = cost_mu + area_multiplier * (np.sum(cdf_min) + np.sum(1 - cdf_max))
+        # the live reference path adds penalties un-multiplied
+        # (setpoint_distance_reward_mapper.py:66)
+        cost_mu = cost_mu + np.sum(cdf_min) + np.sum(1 - cdf_max)
     return -cost_mu, cost_var
 
 

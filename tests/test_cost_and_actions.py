@@ -12,7 +12,7 @@ from tests.oracle import np_oracle
 NS, NA = 3, 1
 
 
-def make_spec(use_constraints=False, clip=False, kappa=1.0):
+def make_spec(use_constraints=False, clip=False, kappa=1.0, area_multiplier=1.0):
     w_state = np.array([1.0, 0.1, 0.1])
     w_action = np.array([0.05])
     W = np.diag(np.concatenate([w_state, w_action]))
@@ -24,7 +24,7 @@ def make_spec(use_constraints=False, clip=False, kappa=1.0):
         use_constraints=use_constraints,
         state_min=jnp.asarray(np.array([-0.1, 0.05, 0.05])),
         state_max=jnp.asarray(np.array([1.1, 0.95, 0.925])),
-        area_multiplier=1.0,
+        area_multiplier=area_multiplier,
         exploration_factor=kappa,
         clip_lower_bound_cost_to_0=clip,
     )
@@ -44,7 +44,10 @@ def test_reward_single_matches_oracle(rng):
 
 
 def test_reward_constraints_matches_oracle(rng):
-    spec = make_spec(use_constraints=True)
+    # area_multiplier != 1 must NOT change the penalty: the reference's live
+    # get_reward path adds CDF penalties un-multiplied
+    # (setpoint_distance_reward_mapper.py:66); only dead code applies it.
+    spec = make_spec(use_constraints=True, area_multiplier=7.0)
     mu = rng.uniform(0, 1, NS)
     var = np.diag(rng.uniform(1e-4, 1e-2, NS))
     a = rng.uniform(0, 1, NA)

@@ -88,3 +88,103 @@ def test_grad_clipping_applies():
     # with aggressive clipping the first step should be bounded
     x, fv = lbfgs_minimize(f, jnp.ones(3), maxiter=3, maxcor=2, maxls=5, clip_grad_value=1e-3)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_maxfun_caps_evaluations():
+    """maxfun (SciPy total-eval budget) freezes iteration once exceeded:
+    a tight cap must leave the solution far short of the uncapped run."""
+    x0 = jnp.zeros(6)
+    x_cap, f_cap = lbfgs_minimize(quad, x0, maxiter=50, maxcor=10, maxls=20, maxfun=1)
+    x_free, f_free = lbfgs_minimize(quad, x0, maxiter=50, maxcor=10, maxls=20, maxfun=None)
+    assert float(f_cap) > float(f_free) + 1e-3  # cap bit
+    # and a loose cap changes nothing
+    x_loose, f_loose = lbfgs_minimize(quad, x0, maxiter=50, maxcor=10, maxls=20, maxfun=10_000)
+    np.testing.assert_allclose(float(f_loose), float(f_free), rtol=1e-12)
+
+
+def _mpc_objective():
+    """The real planning objective on a small GP problem (same construction
+    as __graft_entry__.entry)."""
+    from gpmpc_tpu.controllers.planner import PlanSpec, _objective_and_info
+    from gpmpc_tpu.mappers.action import ActionMapperSpec
+    from gpmpc_tpu.mappers.reward import RewardSpec
+    from gpmpc_tpu.models.gp import GPBounds, masked_cholesky_factorize, params_from_constrained
+
+    ns, na, nh, n = 3, 1, 15, 64
+    d = ns + na
+    rng = np.random.default_rng(7)
+    reward_spec = RewardSpec(
+        target_state_action_norm=jnp.asarray([1.0, 0.5, 0.5, 0.5]),
+        weight_matrix_cost=jnp.asarray(np.diag([1.0, 0.1, 0.1, 1e-3])),
+        target_state_norm=jnp.asarray([1.0, 0.5, 0.5]),
+        weight_matrix_cost_terminal=jnp.asarray(np.diag([5.0, 2.0, 2.0])),
+        use_constraints=False,
+        state_min=jnp.zeros(ns),
+        state_max=jnp.ones(ns),
+        area_multiplier=1.0,
+        exploration_factor=1.0,
+        clip_lower_bound_cost_to_0=False,
+    )
+    action_spec = ActionMapperSpec(
+        limit_action_change=False,
+        max_change_action_norm=jnp.asarray([0.3]),
+        len_horizon=nh,
+        dim_action=na,
+    )
+    spec = PlanSpec(
+        reward=reward_spec, action=action_spec, include_time_model=False,
+        len_horizon=nh, dim_action=na, dim_state=ns, maxiter=4, maxcor=4, maxls=4, maxfun=4,
+    )
+    bounds = GPBounds(
+        min_lengthscale=jnp.full((ns, d), 4e-3), max_lengthscale=jnp.full((ns, d), 10.0),
+        min_outputscale=jnp.full((ns,), 1e-2), max_outputscale=jnp.full((ns,), 0.95),
+        min_noise=jnp.full((ns,), 1e-6), max_noise=jnp.full((ns,), 1e-4),
+    )
+    params = params_from_constrained(
+        jnp.full((ns, d), 0.5), jnp.full((ns,), 5e-2), jnp.full((ns,), 1e-5), bounds
+    )
+    x = jnp.asarray(rng.uniform(0, 1, (n, d)))
+    y = jnp.asarray(rng.normal(0, 0.02, (n, ns)))
+    mask = jnp.ones((n,), dtype=bool)
+    cache = masked_cholesky_factorize(params, bounds, x, y, mask)
+    state_mu = jnp.asarray(rng.uniform(0, 1, ns))
+    state_var = jnp.eye(ns) * 1e-6
+    action_prev = jnp.asarray([0.5])
+
+    def objective(a):
+        cost, _ = _objective_and_info(spec, cache, a, state_mu, state_var, action_prev, 0)
+        return cost
+
+    x0 = rng.uniform(0, 1, nh * na)
+    return objective, x0, spec
+
+
+def test_mpc_objective_parity_with_scipy():
+    """Behavioral parity on the FULL MPC objective with the reference's
+    pendulum budget (maxiter=maxcor=maxls=maxfun=4, jac=True, bounds [0,1])
+    — same init, comparable achieved objective (reference
+    gp_mpc_controller.py:133-139)."""
+    objective, x0, spec = _mpc_objective()
+    obj_jit = jax.jit(objective)
+    vg = jax.jit(jax.value_and_grad(objective))
+
+    def fj(z):
+        f, g = vg(jnp.asarray(z))
+        return float(f), np.asarray(g, dtype=np.float64)
+
+    n = len(x0)
+    ref = scipy_minimize(
+        fj, x0, jac=True, method="L-BFGS-B", bounds=[(0, 1)] * n,
+        options={"maxiter": spec.maxiter, "maxcor": spec.maxcor, "maxls": spec.maxls, "maxfun": spec.maxfun},
+    )
+    x_ours, f_ours = lbfgs_b_minimize(
+        objective, jnp.asarray(x0), jnp.zeros(n), jnp.ones(n),
+        maxiter=spec.maxiter, maxcor=spec.maxcor, maxls=spec.maxls, maxfun=spec.maxfun, keep_best=True,
+    )
+    f0 = float(obj_jit(jnp.asarray(x0)))
+    assert float(f_ours) < f0  # we improved on the init
+    assert ref.fun < f0  # scipy improved too
+    # achieved objective within 10% of the improvement scipy made
+    improvement_ref = f0 - float(ref.fun)
+    improvement_ours = f0 - float(f_ours)
+    assert improvement_ours > 0.9 * improvement_ref

@@ -124,3 +124,39 @@ def test_padded_view_buckets():
     mem.prepare_for_model()
     x_pad, y_pad, mask, b = mem.get_padded()
     assert x_pad.shape == (32, 3) and mask.sum() == 1
+
+
+def test_misaligned_prepare_loses_no_points():
+    """Regression (advisor round 1): prepare_for_model called at training
+    triggers NOT aligned to step_model (e.g. num_repeat_actions=10,
+    training_frequency=15) must neither drop incomplete-window points nor
+    break stride alignment. Compare against a single aligned processing."""
+    step = 3
+    n_total = 17
+
+    def fill(mem):
+        for i in range(n_total):
+            s = np.array([0.01 * i, -0.01 * i])
+            s2 = np.array([0.01 * (i + 1), -0.01 * (i + 1)])
+            mem.add(s, np.array([0.5]), s2, reward=0.0, iter_ctrl=i)
+
+    # gold: everything added, then one prepare (all windows complete except tail)
+    gold = make_memory(step=step, check=False, cap=32)
+    fill(gold)
+    gold.prepare_for_model()
+    gx, gy = gold.get()
+
+    # misaligned: prepare after 4, 7, 11, 16 adds (none are multiples of 3)
+    mem = make_memory(step=step, check=False, cap=32)
+    for i in range(n_total):
+        s = np.array([0.01 * i, -0.01 * i])
+        s2 = np.array([0.01 * (i + 1), -0.01 * (i + 1)])
+        mem.add(s, np.array([0.5]), s2, reward=0.0, iter_ctrl=i)
+        if i in (3, 6, 10, 15):
+            mem.prepare_for_model()
+    mem.prepare_for_model()
+
+    x, y = mem.get()
+    assert mem.len_mem_last_processed % step == 0
+    np.testing.assert_array_equal(x, gx)
+    np.testing.assert_array_equal(y, gy)

