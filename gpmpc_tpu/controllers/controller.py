@@ -197,6 +197,20 @@ class GpMpcController:
         self._train_fn = jax.jit(_train)
         self._pending_train = None  # (new_params, losses) device arrays in flight
 
+        # On an accelerator session, dispatch MLL training to the HOST CPU
+        # backend: f64 is native there (the TPU software-emulates it ~100x
+        # slower), and the async CPU computation overlaps env stepping +
+        # TPU planning — the same architecture as the reference's spawned
+        # CPU training process (gp_mpc_controller.py:201-227), minus the
+        # pickle boundary. Results are device_put back to the default
+        # device at swap time (a few KB).
+        self._train_device = None
+        try:
+            if jax.default_backend() != "cpu" and mixed_train:
+                self._train_device = jax.devices("cpu")[0]
+        except RuntimeError:
+            self._train_device = None
+
         # --- misc state ---------------------------------------------------
         self.actions_mpc_previous_iter: Optional[np.ndarray] = None
         self.action_model_previous_iter = np.random.default_rng(seed).uniform(size=(self.dim_action,)).astype(self.dtype)
@@ -332,7 +346,10 @@ class GpMpcController:
         self.memory.prepare_for_model()
         x_pad, y_pad, mask, _ = self.memory.get_padded()
         self._train_key, sub = jax.random.split(self._train_key)
-        result = self._train_fn(self.gp_params, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask), sub)
+        args = (self.gp_params, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask), sub)
+        if self._train_device is not None:
+            args = jax.device_put(args, self._train_device)
+        result = self._train_fn(*args)
         self._pending_train = result  # device computation in flight
 
     def check_and_close_processes(self):
@@ -360,6 +377,8 @@ class GpMpcController:
             jax.block_until_ready(new_params)
             ready = True
         if ready:
+            if self._train_device is not None:
+                new_params = jax.device_put(new_params, jax.devices()[0])
             self.gp_params = jax.tree_util.tree_map(lambda x: x, new_params)
             self._last_train_losses = np.asarray(losses)
             self._pending_train = None

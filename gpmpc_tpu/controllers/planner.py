@@ -104,7 +104,19 @@ def build_plan_fn(spec: PlanSpec):
 
 
 def _cast_cache(cache: FactorizationCache, dtype) -> FactorizationCache:
-    """Cast the (possibly f64 master) cache to the rollout compute dtype."""
+    """Cast the (possibly f64 master) cache to the rollout compute dtype.
+
+    In mixed mode (f64 master cache + f32 compute) the cache is NOT merely
+    downcast — it is split into the double-float32 rollout cache
+    (models/gp.split_cache_df): a plain downcast loses exactly the bits that
+    the moment-matching cancellations need once MLL training sharpens the GP
+    (PERFORMANCE.md precision boundary), while the df32 path keeps M/V to
+    ~1e-5 relative at f32 speed.
+    """
+    if jnp.float32 == dtype and cache.x_mem.dtype == jnp.float64:
+        from ..models.gp import split_cache_df
+
+        return split_cache_df(cache)
     return FactorizationCache(*(
         a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a for a in cache
     ))

@@ -334,6 +334,241 @@ def _small_spd_inv_det(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 _UNROLL_MAX_DIM = 8
 
 
+class DFCache(NamedTuple):
+    """Double-float32 split of an f64 master FactorizationCache.
+
+    The mixed-precision rollout path (ops/df32.py): beta/iK magnitudes reach
+    +-1e2..1e3 with sign cancellation and the log-domain exponents reach
+    1e4..1e5 once MLL training sharpens the GP — f32 rounding then drowns the
+    ~1e-2 signals (PERFORMANCE.md precision boundary). Splitting every
+    cancellation-sensitive master quantity into exact f32 (hi, lo) pairs and
+    carrying compensated arithmetic through the big reductions restores
+    f64-grade results at f32-pipeline speed; the tiny Ns x Ns / pair-wise
+    matrices stay genuine f64 (software-emulated on TPU, but O(Ns^3) scalars
+    — negligible).
+    """
+
+    x_hi: jnp.ndarray  # (N, D)
+    x_lo: jnp.ndarray
+    mask: jnp.ndarray  # (N,)
+    iK_hi: jnp.ndarray  # (Ns, N, N)
+    iK_lo: jnp.ndarray
+    beta_hi: jnp.ndarray  # (Ns, N)
+    beta_lo: jnp.ndarray
+    ils_hi: jnp.ndarray  # (Ns, D) 1/lengthscale
+    ils_lo: jnp.ndarray
+    ils2_64: jnp.ndarray  # (Ns, D) f64 1/lengthscale^2 (for the small matrices)
+    log_outs_hi: jnp.ndarray  # (Ns,)
+    log_outs_lo: jnp.ndarray
+    outs_64: jnp.ndarray  # (Ns,) f64 outputscales
+    y_mem: jnp.ndarray  # kept so planner cache bookkeeping stays uniform
+
+    @property
+    def x_mem(self):  # duck-type the pieces predict_trajectory reads
+        return self.x_hi
+
+    @property
+    def outputscales(self):
+        return self.outs_64.astype(jnp.float32)
+
+
+def split_cache_df(cache: FactorizationCache) -> DFCache:
+    """Split an f64 master cache into the df32 rollout cache."""
+    from ..ops.df32 import split_f64
+
+    assert cache.x_mem.dtype == jnp.float64, "df32 path needs the f64 master cache"
+    x_hi, x_lo = split_f64(cache.x_mem)
+    iK_hi, iK_lo = split_f64(cache.iK)
+    beta_hi, beta_lo = split_f64(cache.beta)
+    ils64 = 1.0 / cache.lengthscales
+    ils_hi, ils_lo = split_f64(ils64)
+    lo_hi, lo_lo = split_f64(jnp.log(cache.outputscales))
+    return DFCache(
+        x_hi=x_hi, x_lo=x_lo, mask=cache.mask,
+        iK_hi=iK_hi, iK_lo=iK_lo, beta_hi=beta_hi, beta_lo=beta_lo,
+        ils_hi=ils_hi, ils_lo=ils_lo, ils2_64=ils64 * ils64,
+        log_outs_hi=lo_hi, log_outs_lo=lo_lo, outs_64=cache.outputscales,
+        y_mem=cache.y_mem.astype(jnp.float32),
+    )
+
+
+def moment_match_df(
+    cache: DFCache, input_mu: jnp.ndarray, input_var: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Moment matching in double-float32 — same math as ``moment_match``
+    (reference gp_model.py:112-180), f32-hardware-speed, f64-grade accuracy.
+
+    Precision schedule (see DFCache docstring / PERFORMANCE.md):
+      * (input_mu, input_var) arrive in f32 from the rollout carry and are
+        treated as exact — the moment-matched moments are SMOOTH functions of
+        them (the wild cancellation lives in the evaluation, not the map).
+      * x_mem / 1/ls / log outs / beta / iK come pre-split from the f64
+        master, so kernel evaluations stay consistent with the master
+        factorization to ~2^-48 — the property whose loss wrecked plain f32.
+      * Ns x Ns solves/determinants (B, A, Q) run in genuine f64: tiny.
+      * The (Ns, N, D) mean path and the (P, N, N) covariance pipeline —
+        exponent accumulation, exp, beta/iK products, reductions — run in
+        compensated f32 (two_prod/two_sum trees).
+    """
+    from ..ops.df32 import (
+        df_add,
+        df_add_f32,
+        df_exp,
+        df_mul,
+        df_mul_f32,
+        df_sum,
+        split_f64,
+        two_prod,
+    )
+
+    f32 = jnp.float32
+    f64 = jnp.float64
+    ns, d = cache.ils_hi.shape
+    n = cache.x_hi.shape[0]
+
+    sv32 = input_var[:ns, :ns].astype(f32)
+    sv64 = sv32.astype(f64)
+    mu32 = input_mu.astype(f32)
+
+    ils2_s64 = cache.ils2_64[:, :ns]  # (Ns, ns)
+
+    # ---- small f64 matrices ---------------------------------------------
+    B_ss = jnp.sqrt(ils2_s64)[:, :, None] * sv64[None, :, :] * jnp.sqrt(ils2_s64)[:, None, :] + jnp.eye(ns, dtype=f64)
+    B_inv64, det_B64 = _small_spd_inv_det(B_ss)
+    c64 = cache.outs_64 / jnp.sqrt(det_B64)  # (Ns,)
+    c32 = c64.astype(f32)
+    Bh, Bl = split_f64(B_inv64)
+
+    # ---- mean + input-output covariance (df over (Ns, N, D)) ------------
+    # inp = x_mem - mu, exact given the f32 mu
+    inp_h, inp_l = df_add_f32(jnp.broadcast_to(cache.x_hi, (n, d)), cache.x_lo, -mu32[None, :])
+    iN_h, iN_l = df_mul(
+        inp_h[None], inp_l[None], cache.ils_hi[:, None, :], cache.ils_lo[:, None, :]
+    )  # (Ns, N, D)
+
+    # t = iN with the state block transformed by B^-1 (action/time cols pass)
+    t_cols_h, t_cols_l = [], []
+    for j in range(ns):
+        ah, al = df_mul(iN_h[..., 0], iN_l[..., 0], Bh[:, None, 0, j], Bl[:, None, 0, j])
+        for k in range(1, ns):
+            ph, pl = df_mul(iN_h[..., k], iN_l[..., k], Bh[:, None, k, j], Bl[:, None, k, j])
+            ah, al = df_add(ah, al, ph, pl)
+        t_cols_h.append(ah)
+        t_cols_l.append(al)
+    t_h = jnp.concatenate([jnp.stack(t_cols_h, axis=-1), iN_h[..., ns:]], axis=-1)
+    t_l = jnp.concatenate([jnp.stack(t_cols_l, axis=-1), iN_l[..., ns:]], axis=-1)
+
+    # exponent -0.5 * sum_d iN . t — the 1e4..1e5-magnitude cancellation
+    eh, el = df_mul(iN_h, iN_l, t_h, t_l)
+    exp_h, exp_l = df_sum(eh, el, axis=-1)
+    exp_h, exp_l = -0.5 * exp_h, -0.5 * exp_l
+    q_h, q_l = df_exp(jnp.minimum(exp_h, 60.0), exp_l)
+    lb_h, lb_l = df_mul(q_h, q_l, cache.beta_hi, cache.beta_lo)  # (Ns, N)
+
+    M_h, M_l = df_sum(lb_h, lb_l, axis=-1)
+    M = c32 * (M_h + M_l)  # (Ns,)
+
+    tiL_h, tiL_l = df_mul(t_h, t_l, cache.ils_hi[:, None, :], cache.ils_lo[:, None, :])
+    vh, vl = df_mul(tiL_h, tiL_l, lb_h[..., None], lb_l[..., None])
+    V_h, V_l = df_sum(vh, vl, axis=1)  # (Ns, D)
+    V = c32[:, None] * (V_h + V_l)
+
+    # ---- predictive covariance (df over (P, N, N)) -----------------------
+    ii, jj = _np.triu_indices(ns)
+    diag_pos = _np.where(ii == jj)[0]
+    p = len(ii)
+
+    scale_sum64 = ils2_s64[ii] + ils2_s64[jj]  # (P, ns)
+    d_inv_s64 = 1.0 / scale_sum64
+    A_ss = sv64[None, :, :] + _diag_embed(d_inv_s64)
+    A_inv64, det_A64 = _small_spd_inv_det(A_ss)
+    AinvS64 = jnp.einsum("pkl,lm->pkm", A_inv64, sv64)
+    Q64 = d_inv_s64[..., :, None] * AinvS64 * 0.5  # (P, ns, ns)
+    Qh, Ql = split_f64(Q64)
+    sqrt_det_R32 = jnp.sqrt(det_A64 * jnp.prod(scale_sum64, axis=-1)).astype(f32)  # (P,)
+
+    # Xi[m,n,e] = inp[n,e] / ls_m[e]^2 (state cols only)
+    ils2_h, ils2_l = split_f64(ils2_s64)  # (Ns, ns)
+    Xi_h, Xi_l = df_mul(
+        inp_h[None, :, :ns], inp_l[None, :, :ns], ils2_h[:, None, :], ils2_l[:, None, :]
+    )  # (Ns, N, ns)
+
+    def df_mat_small(xh, xl, mh, ml):
+        # (P, N, ns) x (P, ns, ns) -> (P, N, ns), unrolled df dots
+        cols_h, cols_l = [], []
+        for j in range(ns):
+            ah, al = df_mul(xh[..., 0], xl[..., 0], mh[:, None, 0, j], ml[:, None, 0, j])
+            for k in range(1, ns):
+                ph, pl = df_mul(xh[..., k], xl[..., k], mh[:, None, k, j], ml[:, None, k, j])
+                ah, al = df_add(ah, al, ph, pl)
+            cols_h.append(ah)
+            cols_l.append(al)
+        return jnp.stack(cols_h, axis=-1), jnp.stack(cols_l, axis=-1)
+
+    Xi_ph, Xi_pl = Xi_h[ii], Xi_l[ii]  # (P, N, ns)
+    Xj_ph, Xj_pl = Xi_h[jj], Xi_l[jj]
+    XQ_h, XQ_l = df_mat_small(Xi_ph, Xi_pl, Qh, Ql)  # (P, N, ns)
+
+    def df_rowdot(ah, al, bh, bl):
+        ph, pl = df_mul(ah, al, bh, bl)
+        return df_sum(ph, pl, axis=-1)
+
+    Xs_h, Xs_l = df_rowdot(XQ_h, XQ_l, Xi_ph, Xi_pl)  # (P, N)
+    XjQ_h, XjQ_l = df_mat_small(Xj_ph, Xj_pl, Qh, Ql)
+    X2s_h, X2s_l = df_rowdot(XjQ_h, XjQ_l, Xj_ph, Xj_pl)
+
+    # k_m(n) = log outs_m - 0.5 sum iN^2
+    sh, sl = df_mul(iN_h, iN_l, iN_h, iN_l)
+    k_h, k_l = df_sum(sh, sl, axis=-1)  # (Ns, N)
+    k_h, k_l = df_add(
+        jnp.broadcast_to(cache.log_outs_hi[:, None], k_h.shape),
+        jnp.broadcast_to(cache.log_outs_lo[:, None], k_h.shape),
+        -0.5 * k_h,
+        -0.5 * k_l,
+    )
+
+    a_h, a_l = df_add(k_h[ii], k_l[ii], Xs_h, Xs_l)  # (P, N)
+    c_h, c_l = df_add(k_h[jj], k_l[jj], X2s_h, X2s_l)  # (P, N)
+    U_h, U_l = 2.0 * XQ_h, 2.0 * XQ_l  # exact doubling
+
+    # ---- the (P, N, N) pipeline ------------------------------------------
+    # expo[p,n,k] = a[p,n] + c[p,k] + sum_e U[p,n,e] Xj[p,k,e]
+    ch_b = c_h[:, None, :]
+    cl_b = c_l[:, None, :]
+    eh, el = df_add(a_h[:, :, None], a_l[:, :, None], ch_b, cl_b)  # (P, N, N)
+    for e_idx in range(ns):
+        ph, pl = df_mul(
+            U_h[:, :, None, e_idx], U_l[:, :, None, e_idx],
+            Xj_ph[:, None, :, e_idx], Xj_pl[:, None, :, e_idx],
+        )
+        eh, el = df_add(eh, el, ph, pl)
+    E_h, E_l = df_exp(jnp.minimum(eh, 60.0), el)
+
+    # S_p = sum_{n,k} b_i[n] E[n,k] b_j[k]
+    th, tl = df_mul(E_h, E_l, cache.beta_hi[ii][:, :, None], cache.beta_lo[ii][:, :, None])
+    th, tl = df_mul(th, tl, cache.beta_hi[jj][:, None, :], cache.beta_lo[jj][:, None, :])
+    Sp_h, Sp_l = df_sum(th.reshape(p, -1), tl.reshape(p, -1), axis=-1)
+
+    # corr_m = sum(iK_m * E[diag_m])
+    dh, dl = df_mul(E_h[diag_pos], E_l[diag_pos], cache.iK_hi, cache.iK_lo)
+    corr_h, corr_l = df_sum(dh.reshape(ns, -1), dl.reshape(ns, -1), axis=-1)
+
+    # S_p(diag) and corr are each ~1e3..1e4 at cond(K) ~ 1e6 and cancel to
+    # ~1e-2: subtract IN df, collapse to f32 only after the cancellation
+    # (collapsing first loses ulp(1e4) ~ 1e-3 — measured).
+    cfull_h = jnp.zeros((p,), f32).at[jnp.asarray(diag_pos)].set(corr_h)
+    cfull_l = jnp.zeros((p,), f32).at[jnp.asarray(diag_pos)].set(corr_l)
+    Sp_h, Sp_l = df_add(Sp_h, Sp_l, -cfull_h, -cfull_l)
+    S_p = (Sp_h + Sp_l).astype(f32) / sqrt_det_R32
+
+    S = jnp.zeros((ns, ns), dtype=f32).at[ii, jj].set(S_p)
+    S = S + S.T - jnp.diag(jnp.diagonal(S))
+    S = S + jnp.diag(cache.outs_64.astype(f32))
+    S = S - M[:, None] * M[None, :]
+
+    return M, S, V.T
+
+
 def moment_match(
     cache: FactorizationCache, input_mu: jnp.ndarray, input_var: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -501,7 +736,8 @@ def predict_trajectory(
         if include_time_model:
             parts.append(jnp.asarray(current_time_idx, dtype=dtype)[None] + t_off[None])
         input_mu = jnp.concatenate(parts)
-        dmu, dvar, v = moment_match(cache, input_mu, input_var)
+        mm = moment_match_df if isinstance(cache, DFCache) else moment_match
+        dmu, dvar, v = mm(cache, input_mu, input_var)
         new_mu = mu + dmu
         sv = input_var[:ns]  # (Ns, D)
         new_var = dvar + var + sv @ v + v.T @ sv.T
@@ -511,8 +747,11 @@ def predict_trajectory(
     # Full unroll: the horizon is short (<= ~30) and the step body is pure
     # fusible arithmetic after the block-structure rewrite, so unrolling
     # removes the TPU loop/dynamic-slice overhead (and the backward pass's
-    # residual stacking) that dominates at these tiny shapes.
-    (_, _), (mus, vars_) = lax.scan(step, (state_mu, state_var), (actions, t_offsets), unroll=True)
+    # residual stacking) that dominates at these tiny shapes. The df32 body
+    # is ~10x more ops, so unrolling it blows XLA compile time up by more
+    # than the loop overhead is worth — keep that path rolled.
+    unroll = not isinstance(cache, DFCache)
+    (_, _), (mus, vars_) = lax.scan(step, (state_mu, state_var), (actions, t_offsets), unroll=unroll)
     states_mu = jnp.concatenate([state_mu[None], mus], axis=0)
     states_var = jnp.concatenate([state_var[None], vars_], axis=0)
     return states_mu, states_var

@@ -137,10 +137,21 @@ class EpisodeSpec(NamedTuple):
     # 0.5-constants so the fused path can be compared step-for-step against
     # the host controller (tests/test_cross_path.py)
     deterministic_inits: bool = False
+    # mixed precision: factorize + train in f64, roll out in double-float32
+    # (models/gp.split_cache_df) — the TPU path for training-sharpened GPs
+    # where plain f32 breaks (PERFORMANCE.md precision boundary). Requires
+    # jax_enable_x64 and dtype float32.
+    mixed_df32: bool = False
 
 
 def episode_spec_from_config(
-    env: JaxEnvSpec, config: Config, num_steps: int, warmup: int, cap=None, deterministic_inits: bool = False
+    env: JaxEnvSpec,
+    config: Config,
+    num_steps: int,
+    warmup: int,
+    cap=None,
+    deterministic_inits: bool = False,
+    mixed_df32: bool = False,
 ) -> Tuple[EpisodeSpec, GPParams]:
     dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
     ns = len(env.obs_low)
@@ -224,7 +235,12 @@ def episode_spec_from_config(
         include_time_model=bool(config.model.include_time_model),
         dtype=dtype,
         deterministic_inits=bool(deterministic_inits),
+        mixed_df32=bool(mixed_df32),
     )
+    if mixed_df32:
+        assert dtype == jnp.float32 and jax.config.jax_enable_x64, (
+            "mixed_df32 needs dtype float32 and jax_enable_x64"
+        )
     return spec, params0
 
 
@@ -250,9 +266,19 @@ def build_episode_fn(spec: EpisodeSpec):
     def denorm_act(a):
         return a * (act_high - act_low) + act_low
 
+    def make_cache(mem: MemoryState, params, mask):
+        if spec.mixed_df32:
+            from ..models.gp import split_cache_df
+
+            cache64 = masked_cholesky_factorize(
+                params, spec.bounds, mem.model_inputs, mem.model_targets, mask, upcast=True
+            )
+            return split_cache_df(cache64)
+        return masked_cholesky_factorize(params, spec.bounds, mem.model_inputs, mem.model_targets, mask)
+
     def plan_actions(mem: MemoryState, params, state_mu, prev_mpc, have_prev, action_prev, t, key):
         mask = memory_active_mask(mem)
-        cache = masked_cholesky_factorize(params, spec.bounds, mem.model_inputs, mem.model_targets, mask)
+        cache = make_cache(mem, params, mask)
 
         def objective(a):
             cost, _ = _objective_and_info(spec.plan, cache, a, state_mu, obs_var, action_prev, t)
@@ -286,7 +312,7 @@ def build_episode_fn(spec: EpisodeSpec):
 
     def eval_actions(mem: MemoryState, params, state_mu, actions_mpc, action_prev, t):
         mask = memory_active_mask(mem)
-        cache = masked_cholesky_factorize(params, spec.bounds, mem.model_inputs, mem.model_targets, mask)
+        cache = make_cache(mem, params, mask)
         _, info = _objective_and_info(spec.plan, cache, actions_mpc, state_mu, obs_var, action_prev, t)
         return actions_mpc, info
 
@@ -348,6 +374,17 @@ def build_episode_fn(spec: EpisodeSpec):
         def do_train(p):
             mem3 = memory_prepare(mem, spec.num_repeat_actions, ns)
             mask = memory_active_mask(mem3)
+            if spec.mixed_df32:
+                # MLL conditioning needs f64 once noise sharpens; raw params
+                # are logit-space and cast back losslessly for control purposes
+                p64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), p)
+                b64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), spec.bounds)
+                new_p, _ = train_hyperparams(
+                    p64, b64,
+                    mem3.model_inputs.astype(jnp.float64), mem3.model_targets.astype(jnp.float64),
+                    mask, jax.random.fold_in(key, 7), spec.train_cfg,
+                )
+                return jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), new_p)
             new_p, _ = train_hyperparams(
                 p, spec.bounds, mem3.model_inputs, mem3.model_targets, mask, jax.random.fold_in(key, 7), spec.train_cfg
             )

@@ -128,7 +128,13 @@ def main():
     p.add_argument("--out", default=os.path.join(ROOT, "baselines_out"))
     args = p.parse_args()
 
+    import jax
     import numpy as np
+
+    # per-bucket planner graphs recompile identically across seeds — the
+    # persistent cache turns a 10-seed sweep from 10x compile into 1x
+    jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     os.makedirs(args.out, exist_ok=True)
     names = args.only or list(WORKLOADS)

@@ -1,0 +1,246 @@
+"""Double-float32 arithmetic + mixed-precision moment matching tests.
+
+The df32 path (ops/df32.py, models/gp.moment_match_df) is what lets the TPU
+— which has no hardware f64 — run the training-sharpened GP rollout at f32
+speed without hitting the measured f32 precision boundary (PERFORMANCE.md):
+beta/iK cancellations at cond(K) ~ 1e6 drown plain f32 (~37% mean error
+measured) while df32 stays at ~1e-5.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmpc_tpu.ops.df32 import (
+    df_add,
+    df_dot_f32,
+    df_exp,
+    df_mul,
+    df_sum,
+    split_f64,
+    two_prod,
+    two_sum,
+)
+
+f32 = jnp.float32
+
+
+def _df_to64(hi, lo):
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
+def test_two_sum_exact(rng):
+    a = jnp.asarray(rng.uniform(-1e6, 1e6, 256), f32)
+    b = jnp.asarray(rng.uniform(-1e-3, 1e-3, 256), f32)
+    s, e = jax.jit(two_sum)(a, b)
+    # s + e must equal a + b EXACTLY in f64 (both inputs are f32-exact)
+    np.testing.assert_array_equal(
+        _df_to64(s, e), np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    )
+
+
+def test_two_prod_exact(rng):
+    a = jnp.asarray(rng.uniform(-1e3, 1e3, 256), f32)
+    b = jnp.asarray(rng.uniform(-1e3, 1e3, 256), f32)
+    p, e = jax.jit(two_prod)(a, b)
+    # masked-split two_prod: p + e = a*b up to O(eps^2) from the
+    # error-channel adds (NOT bit-exact like Dekker — that variant is
+    # miscompiled by XLA:CPU FMA contraction, see _split12)
+    ab = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    err = np.abs(_df_to64(p, e) - ab)
+    assert err.max() <= 2.0**-45 * np.abs(ab).max()
+
+
+def test_split_roundtrip(rng):
+    x = jnp.asarray(rng.uniform(-1e6, 1e6, 512), jnp.float64)
+    hi, lo = split_f64(x)
+    # hi + lo recovers x to ~2^-48 relative
+    err = np.abs(_df_to64(hi, lo) - np.asarray(x)) / np.abs(np.asarray(x))
+    assert err.max() < 2**-45
+
+
+def test_df_sum_cancellation(rng):
+    """The signature failure of plain f32: +-1e3 terms cancelling to ~1e-2."""
+    big = rng.uniform(1e2, 1e3, 4096)
+    signs = np.where(np.arange(4096) % 2 == 0, 1.0, -1.0)
+    x64 = big * signs + rng.uniform(-1e-6, 1e-6, 4096)  # true sum ~ sum of perturbations
+    true = np.sum(x64)
+    hi, lo = split_f64(jnp.asarray(x64, jnp.float64))
+    sh, sl = jax.jit(lambda h, l: df_sum(h, l, axis=-1))(hi, lo)
+    f32_sum = float(jnp.sum(jnp.asarray(x64, f32)))
+    df_res = float(_df_to64(sh, sl))
+    assert abs(df_res - true) < 1e-6 * max(1.0, abs(true)) + 1e-8
+    # and plain f32 is demonstrably much worse
+    assert abs(f32_sum - true) > 10 * abs(df_res - true)
+
+
+def test_df_dot_weighted_cancellation(rng):
+    """sum_k a[k] * b[k] with b ~ +-1e3 (the beta contraction pattern)."""
+    n = 1024
+    a64 = rng.uniform(0.0, 1.0, n)
+    b64 = rng.uniform(-1e3, 1e3, n)
+    true = float(np.dot(a64, b64))
+    a = jnp.asarray(a64, f32)
+    bh, bl = split_f64(jnp.asarray(b64, jnp.float64))
+    dh, dl = jax.jit(lambda a_, h, l: df_dot_f32(a_, h, l, axis=-1))(a, bh, bl)
+    # a is f32-rounded input (relative 6e-8 per element) — that perturbation
+    # bounds the achievable accuracy; the df accumulation must not add to it
+    assert abs(_df_to64(dh, dl) - true) < 5e-8 * np.sum(np.abs(a64 * b64)) + 1e-6
+
+
+def test_df_exp_accuracy(rng):
+    x64 = rng.uniform(-60.0, 2.0, 512)
+    hi, lo = split_f64(jnp.asarray(x64, jnp.float64))
+    eh, el = jax.jit(df_exp)(hi, lo)
+    rel = np.abs(_df_to64(eh, el) - np.exp(x64)) / np.exp(x64)
+    # full df precision: range reduction + degree-12 df Horner + exact 2^k.
+    # (below exp(x) ~ 1e-31 the lo channel denormal-underflows and accuracy
+    # degrades gracefully toward plain f32 — covered by the wide-range test)
+    assert rel.max() < 1e-12
+
+
+def test_df_exp_wide_range_and_underflow(rng):
+    """Large-magnitude exponents (the (P,N,N) log-domain path) + underflow."""
+    x64 = np.concatenate([rng.uniform(-8e4, 60.0, 2048), rng.uniform(-5.0, 5.0, 2048)])
+    hi, lo = split_f64(jnp.asarray(x64, jnp.float64))
+    eh, el = jax.jit(df_exp)(hi, lo)
+    res = _df_to64(eh, el)
+    true = np.exp(x64)
+    m = true > 1e-30
+    rel = np.abs(res[m] - true[m]) / true[m]
+    assert rel.max() < 1e-12
+    # below ~2^-126 the scale flushes to exactly 0 (documented)
+    assert np.all(res[~m] >= 0) and np.all(res[~m] < 1.2e-38)
+
+
+def test_two_prod_contraction_immunity():
+    """Regression for the XLA:CPU FMA-contraction miscompile (round 2).
+
+    fl(-52 * f32(ln2)) is a round-to-even tie; when XLA rematerializes the
+    product per consumer fusion and LLVM ISel contracts one copy into an
+    FMA, the copies disagree and fast_two_sum's error term is garbage
+    (observed +9.9e-8 instead of -1.81e-6). The masked-split two_prod only
+    uses EXACT partial products, so every copy agrees under any contraction.
+    """
+    from gpmpc_tpu.ops.df32 import _INV_LN2, _LN2_HI, _LN2_LO, fast_two_sum
+
+    x = np.float64(-36.008813121149274)
+    xh, xl = split_f64(jnp.asarray([x], jnp.float64))
+
+    def stages(xh, xl):
+        k = jnp.round(xh * _INV_LN2)
+        ph, pe = two_prod(k, _LN2_HI)
+        pe = pe + k * _LN2_LO
+        return fast_two_sum(ph, pe)
+
+    th, tl = jax.jit(stages)(xh, xl)
+    t = _df_to64(th, tl)[0]
+    true = -52.0 * (float(_LN2_HI) + float(_LN2_LO))
+    assert abs(t - true) < 1e-12
+
+
+def test_df_mul_add_chain(rng):
+    a64 = rng.uniform(-1e4, 1e4, 128)
+    b64 = rng.uniform(-1e4, 1e4, 128)
+    ah, al = split_f64(jnp.asarray(a64, jnp.float64))
+    bh, bl = split_f64(jnp.asarray(b64, jnp.float64))
+    mh, ml = jax.jit(df_mul)(ah, al, bh, bl)
+    rel = np.abs(_df_to64(mh, ml) - a64 * b64) / np.abs(a64 * b64)
+    assert rel.max() < 2**-44
+    sh, sl = jax.jit(df_add)(ah, al, bh, bl)
+    denom = np.maximum(np.abs(a64 + b64), 1e-3 * np.abs(a64))
+    rel = np.abs(_df_to64(sh, sl) - (a64 + b64)) / denom
+    assert rel.max() < 2**-40
+
+
+# ---------------------------------------------------------------------------
+def _ill_conditioned_state(noise_val=1e-6, n=150):
+    """Pendulum random-action memory + sharpened hypers: the measured f32
+    failure regime (PERFORMANCE.md precision boundary)."""
+    from gpmpc_tpu.envs.pendulum import PendulumEnv
+    from gpmpc_tpu.models.gp import GPBounds, masked_cholesky_factorize, params_from_constrained
+
+    env = PendulumEnv(seed=0)
+    obs = env.reset()
+    lo, hi = env.observation_space.low, env.observation_space.high
+    rng = np.random.default_rng(0)
+    rows, ys = [], []
+    for _ in range(n):
+        a = rng.uniform(-2, 2, 1)
+        s = (obs - lo) / (hi - lo)
+        obs2, _, _, _ = env.step(a)
+        rows.append(np.concatenate([s, (a + 2) / 4]))
+        ys.append((obs2 - lo) / (hi - lo) - s)
+        obs = obs2
+    x64 = jnp.asarray(np.array(rows), jnp.float64)
+    y64 = jnp.asarray(np.array(ys), jnp.float64)
+    ns, d = 3, x64.shape[1]
+    ls = jnp.asarray(np.array([[0.25, 0.3, 0.35, 0.6]] * ns), jnp.float64)
+    bounds = GPBounds(
+        jnp.full((ns, d), 4e-3, jnp.float64), jnp.full((ns, d), 10.0, jnp.float64),
+        jnp.full((ns,), 1e-3, jnp.float64), jnp.full((ns,), 0.95, jnp.float64),
+        jnp.full((ns,), 1e-7, jnp.float64), jnp.full((ns,), 1e-3, jnp.float64),
+    )
+    params = params_from_constrained(
+        ls, jnp.full((ns,), 5e-2, jnp.float64), jnp.full((ns,), noise_val, jnp.float64), bounds
+    )
+    cache = masked_cholesky_factorize(params, bounds, x64, y64, jnp.ones((x64.shape[0],), bool))
+    return cache, ns, d
+
+
+@pytest.mark.slow
+def test_moment_match_df_beats_f32_at_high_cond():
+    from gpmpc_tpu.models.gp import (
+        FactorizationCache,
+        moment_match,
+        moment_match_df,
+        split_cache_df,
+    )
+
+    cache64, ns, d = _ill_conditioned_state()
+    assert float(jnp.max(jnp.abs(cache64.beta))) > 50  # genuinely ill-conditioned
+    mu = jnp.asarray(np.array([0.55, 0.48, 0.52, 0.5]), jnp.float64)
+    var = jnp.zeros((d, d), jnp.float64).at[:ns, :ns].set(jnp.eye(ns, dtype=jnp.float64) * 1e-4)
+
+    M64, S64, V64 = jax.jit(moment_match)(cache64, mu, var)
+    cache32 = FactorizationCache(
+        *(a.astype(f32) if jnp.issubdtype(a.dtype, jnp.floating) else a for a in cache64)
+    )
+    M32, _, V32 = jax.jit(moment_match)(cache32, mu.astype(f32), var.astype(f32))
+    dfc = split_cache_df(cache64)
+    Mdf, Sdf, Vdf = jax.jit(moment_match_df)(dfc, mu.astype(f32), var.astype(f32))
+
+    err32 = np.max(np.abs(np.asarray(M32) - np.asarray(M64)))
+    errdf = np.max(np.abs(np.asarray(Mdf) - np.asarray(M64)))
+    scale = np.max(np.abs(np.asarray(M64)))
+    assert errdf < 1e-4 * scale + 1e-7, f"df32 mean error too large: {errdf}"
+    assert errdf * 100 < err32, f"df32 ({errdf}) must be >>100x better than f32 ({err32})"
+    # covariance: the df-precision exp keeps the beta_i*E*beta_j cancellation
+    # intact, so S resolves the ~1e-5-scale true predictive variance instead
+    # of drowning it in a ~1e-2 absolute error floor (the round-2 failure)
+    errS = np.max(np.abs(np.asarray(Sdf) - np.asarray(S64)))
+    assert errS < 1e-6 * max(1.0, np.max(np.abs(np.asarray(S64))))
+    errV = np.max(np.abs(np.asarray(Vdf) - np.asarray(V64)))
+    assert errV < 1e-3 * np.max(np.abs(np.asarray(V64))) + 1e-7
+
+
+@pytest.mark.slow
+def test_rollout_df_matches_f64():
+    from gpmpc_tpu.models.gp import predict_trajectory, split_cache_df
+
+    cache64, ns, d = _ill_conditioned_state()
+    dfc = split_cache_df(cache64)
+    rng = np.random.default_rng(1)
+    actions = jnp.asarray(rng.uniform(0, 1, (15, 1)), f32)
+    mu0 = jnp.asarray(np.array([0.55, 0.48, 0.52]), jnp.float64)
+    v0 = jnp.eye(3, dtype=jnp.float64) * 1e-6
+
+    mus64, vars64 = jax.jit(
+        lambda: predict_trajectory(cache64, actions.astype(jnp.float64), mu0, v0, 0, False)
+    )()
+    musdf, varsdf = jax.jit(
+        lambda: predict_trajectory(dfc, actions, mu0.astype(f32), v0.astype(f32), 0, False)
+    )()
+    assert float(jnp.max(jnp.abs(musdf - mus64.astype(f32)))) < 5e-4
+    assert float(jnp.max(jnp.abs(varsdf - vars64.astype(f32)))) < 5e-3
