@@ -334,6 +334,67 @@ def _small_spd_inv_det(M: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 _UNROLL_MAX_DIM = 8
 
 
+def _small_spd_inv_det_df(Mh: jnp.ndarray, Ml: jnp.ndarray):
+    """Double-float32 twin of ``_small_spd_inv_det``.
+
+    (Mh + Ml): (..., k, k) SPD in df32. Returns (Minv_h, Minv_l, det_h,
+    det_l). Same fully-unrolled Cholesky structure — every operation is an
+    elementwise df op on (...)-shaped slices, fusible by XLA — but carried
+    in compensated f32 instead of float64. This is what lets the mixed
+    rollout drop software-emulated f64 entirely: the Q / B^-1 outputs feed
+    the 1e4..1e5-magnitude moment-matching exponents, whose ~1e-9 absolute
+    accuracy requirement exceeds plain f32 but sits comfortably inside df32
+    (~2^-45 relative here, dominated by the df division/sqrt Newton steps).
+    """
+    from ..ops.df32 import df_add, df_div, df_mul, df_sqrt, two_sum
+
+    k = Mh.shape[-1]
+    eps = jnp.asarray(1e-10, Mh.dtype)
+    one = (jnp.ones_like(Mh[..., 0, 0]), jnp.zeros_like(Mh[..., 0, 0]))
+    L = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            s = (Mh[..., i, j], Ml[..., i, j])
+            for p in range(j):
+                prod = df_mul(*L[i][p], *L[j][p])
+                s = df_add(s[0], s[1], -prod[0], -prod[1])
+            if i == j:
+                # pivot guard as in the f32/f64 twin (see _small_spd_inv_det)
+                floor = eps * jnp.abs(Mh[..., i, i]) + jnp.asarray(1e-30, Mh.dtype)
+                guard = s[0] < floor
+                s = (jnp.where(guard, floor, s[0]), jnp.where(guard, 0.0, s[1]))
+                L[i][i] = df_sqrt(*s)
+            else:
+                L[i][j] = df_div(*s, *L[j][j])
+    det = df_mul(*L[0][0], *L[0][0])
+    for i in range(1, k):
+        det = df_mul(*det, *df_mul(*L[i][i], *L[i][i]))
+    Li = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            if i == j:
+                Li[i][i] = df_div(*one, *L[i][i])
+            else:
+                s = df_mul(*L[i][j], *Li[j][j])
+                for p in range(j + 1, i):
+                    s = df_add(*s, *df_mul(*L[i][p], *Li[p][j]))
+                neg = (-s[0], -s[1])
+                Li[i][j] = df_div(*neg, *L[i][i])
+    rows_h, rows_l = [], []
+    for i in range(k):
+        row_h, row_l = [], []
+        for j in range(k):
+            lo = max(i, j)
+            s = df_mul(*Li[lo][i], *Li[lo][j])
+            for p in range(lo + 1, k):
+                s = df_add(*s, *df_mul(*Li[p][i], *Li[p][j]))
+            row_h.append(s[0])
+            row_l.append(s[1])
+        rows_h.append(jnp.stack(row_h, axis=-1))
+        rows_l.append(jnp.stack(row_l, axis=-1))
+    return jnp.stack(rows_h, axis=-2), jnp.stack(rows_l, axis=-2), det[0], det[1]
+
+
 class DFCache(NamedTuple):
     """Double-float32 split of an f64 master FactorizationCache.
 
@@ -343,9 +404,10 @@ class DFCache(NamedTuple):
     ~1e-2 signals (PERFORMANCE.md precision boundary). Splitting every
     cancellation-sensitive master quantity into exact f32 (hi, lo) pairs and
     carrying compensated arithmetic through the big reductions restores
-    f64-grade results at f32-pipeline speed; the tiny Ns x Ns / pair-wise
-    matrices stay genuine f64 (software-emulated on TPU, but O(Ns^3) scalars
-    — negligible).
+    f64-grade results at f32-pipeline speed. The tiny Ns x Ns solves (B, A,
+    Q) run in df32 too (``_small_spd_inv_det_df``) — the rollout contains NO
+    f64 ops at all, so nothing in the planning step is software-emulated on
+    TPU.
     """
 
     x_hi: jnp.ndarray  # (N, D)
@@ -357,10 +419,11 @@ class DFCache(NamedTuple):
     beta_lo: jnp.ndarray
     ils_hi: jnp.ndarray  # (Ns, D) 1/lengthscale
     ils_lo: jnp.ndarray
-    ils2_64: jnp.ndarray  # (Ns, D) f64 1/lengthscale^2 (for the small matrices)
+    ils2_hi: jnp.ndarray  # (Ns, D) 1/lengthscale^2
+    ils2_lo: jnp.ndarray
     log_outs_hi: jnp.ndarray  # (Ns,)
     log_outs_lo: jnp.ndarray
-    outs_64: jnp.ndarray  # (Ns,) f64 outputscales
+    outs: jnp.ndarray  # (Ns,) f32 outputscales
     y_mem: jnp.ndarray  # kept so planner cache bookkeeping stays uniform
 
     @property
@@ -369,7 +432,7 @@ class DFCache(NamedTuple):
 
     @property
     def outputscales(self):
-        return self.outs_64.astype(jnp.float32)
+        return self.outs
 
 
 def split_cache_df(cache: FactorizationCache) -> DFCache:
@@ -382,14 +445,123 @@ def split_cache_df(cache: FactorizationCache) -> DFCache:
     beta_hi, beta_lo = split_f64(cache.beta)
     ils64 = 1.0 / cache.lengthscales
     ils_hi, ils_lo = split_f64(ils64)
+    ils2_hi, ils2_lo = split_f64(ils64 * ils64)
     lo_hi, lo_lo = split_f64(jnp.log(cache.outputscales))
     return DFCache(
         x_hi=x_hi, x_lo=x_lo, mask=cache.mask,
         iK_hi=iK_hi, iK_lo=iK_lo, beta_hi=beta_hi, beta_lo=beta_lo,
-        ils_hi=ils_hi, ils_lo=ils_lo, ils2_64=ils64 * ils64,
-        log_outs_hi=lo_hi, log_outs_lo=lo_lo, outs_64=cache.outputscales,
+        ils_hi=ils_hi, ils_lo=ils_lo, ils2_hi=ils2_hi, ils2_lo=ils2_lo,
+        log_outs_hi=lo_hi, log_outs_lo=lo_lo,
+        outs=cache.outputscales.astype(jnp.float32),
         y_mem=cache.y_mem.astype(jnp.float32),
     )
+
+
+def _df_stage1(cache: DFCache, sv32: jnp.ndarray, ii, jj):
+    """Small df32 matrices of one moment-matching step: B^-1, c, Q,
+    sqrt_det_R (reference gp_model.py:118-131, 149-155 — there in f64).
+
+    All df32 (``_small_spd_inv_det_df``): the outputs feed the 1e4..1e5
+    log-domain exponents whose ~1e-9 absolute accuracy requirement exceeds
+    plain f32, and keeping them out of f64 leaves the rollout free of
+    software-emulated doubles on TPU. Shared by the XLA path
+    (``moment_match_df``) and the fused Pallas path
+    (``moment_match_df_fused``); tiny (Ns/P x ns x ns) tensors only.
+    """
+    from ..ops.df32 import df_add, df_add_f32, df_div, df_mul, df_mul_f32
+
+    f32 = jnp.float32
+    ns = sv32.shape[0]
+
+    # B = diag(ils) sv diag(ils) + I, per model (state block only)
+    ils_s_h, ils_s_l = cache.ils_hi[:, :ns], cache.ils_lo[:, :ns]
+    outer_h, outer_l = df_mul(
+        ils_s_h[:, :, None], ils_s_l[:, :, None], ils_s_h[:, None, :], ils_s_l[:, None, :]
+    )  # (Ns, ns, ns)
+    B_h, B_l = df_mul_f32(outer_h, outer_l, sv32[None])
+    eye = jnp.eye(ns, dtype=f32)
+    B_h, B_l = df_add_f32(B_h, B_l, eye[None])
+    B_inv_h, B_inv_l, det_B_h, det_B_l = _small_spd_inv_det_df(B_h, B_l)
+    c32 = cache.outs / jnp.sqrt(det_B_h + det_B_l)  # (Ns,) — f32 precision is
+    # enough for c: it scales M/V multiplicatively (target ~1e-5 relative)
+
+    ils2_h, ils2_l = cache.ils2_hi[:, :ns], cache.ils2_lo[:, :ns]
+    ss_h, ss_l = df_add(ils2_h[ii], ils2_l[ii], ils2_h[jj], ils2_l[jj])  # (P, ns)
+    ones = jnp.ones_like(ss_h)
+    d_inv_h, d_inv_l = df_div(ones, jnp.zeros_like(ss_h), ss_h, ss_l)
+    # A = sv + diag(d_inv): diag entries fold sv_ii into the df pair exactly
+    eye_p = jnp.eye(ns, dtype=f32)[None]  # (1, ns, ns)
+    diag_h, diag_l = df_add_f32(
+        _diag_embed(d_inv_h), _diag_embed(d_inv_l), sv32[None] * eye_p
+    )
+    A_h = jnp.where(eye_p > 0, diag_h, sv32[None])
+    A_l = jnp.where(eye_p > 0, diag_l, 0.0)
+    A_inv_h, A_inv_l, det_A_h, det_A_l = _small_spd_inv_det_df(A_h, A_l)
+    # AinvS = A^-1 @ sv (sv exact f32), unrolled df dots
+    ns_ = ns
+    AS_cols_h, AS_cols_l = [], []
+    for m in range(ns_):
+        ah, al = df_mul_f32(A_inv_h[:, :, 0], A_inv_l[:, :, 0], sv32[0, m])
+        for l_ in range(1, ns_):
+            ph, pl = df_mul_f32(A_inv_h[:, :, l_], A_inv_l[:, :, l_], sv32[l_, m])
+            ah, al = df_add(ah, al, ph, pl)
+        AS_cols_h.append(ah)
+        AS_cols_l.append(al)
+    AinvS_h = jnp.stack(AS_cols_h, axis=-1)  # (P, ns, ns)
+    AinvS_l = jnp.stack(AS_cols_l, axis=-1)
+    Qh, Ql = df_mul(d_inv_h[..., :, None], d_inv_l[..., :, None], AinvS_h, AinvS_l)
+    Qh, Ql = 0.5 * Qh, 0.5 * Ql  # exact halving
+    det_R32 = (det_A_h + det_A_l) * jnp.prod(ss_h + ss_l, axis=-1)
+    sqrt_det_R32 = jnp.sqrt(det_R32)  # (P,) — divides S_p AFTER the
+    # cancellation, so f32 relative precision suffices there
+    return B_inv_h, B_inv_l, c32, Qh, Ql, sqrt_det_R32
+
+
+def moment_match_df_fused(
+    cache: DFCache, input_mu: jnp.ndarray, input_var: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``moment_match_df`` with stages 2-3 in ONE fused Pallas kernel.
+
+    Same math, same df32 precision; the N-scaling work (mean path + the
+    (P, N, N) covariance pipeline with its compensated reductions) runs as a
+    single pallas_call per step instead of O(100) XLA kernels
+    (ops/pallas_df_mm.py — measured launch-overhead-bound at 9.1 ms per
+    15-step objective at N=128 on v5e). Stage 1 and the tiny finish stay in
+    XLA. Dispatch happens in ``predict_trajectory``; the XLA twin is the
+    correctness oracle (tests/test_df32.py::test_fused_matches_xla).
+    """
+    from ..ops.pallas_df_mm import stage23_pallas
+
+    f32 = jnp.float32
+    ns, d = cache.ils_hi.shape
+    sv32 = input_var[:ns, :ns].astype(f32)
+    mu32 = input_mu.astype(f32)
+
+    ii, jj = _np.triu_indices(ns)
+    diag_pos = _np.where(ii == jj)[0]
+    p = len(ii)
+    Bh, Bl, c32, Qh, Ql, sqrt_det_R32 = _df_stage1(cache, sv32, ii, jj)
+
+    pairs = tuple((int(a), int(b)) for a, b in zip(ii, jj))
+    M_h, M_l, V_h, V_l, Sp_h, Sp_l, corr_h, corr_l = stage23_pallas(
+        mu32, Bh, Bl, Qh, Ql, cache, pairs
+    )
+
+    M = c32 * (M_h + M_l)
+    V = c32[:, None] * (V_h + V_l)
+
+    from ..ops.df32 import df_add
+
+    cfull_h = jnp.zeros((p,), f32).at[jnp.asarray(diag_pos)].set(corr_h)
+    cfull_l = jnp.zeros((p,), f32).at[jnp.asarray(diag_pos)].set(corr_l)
+    Sp_h, Sp_l = df_add(Sp_h, Sp_l, -cfull_h, -cfull_l)
+    S_p = (Sp_h + Sp_l).astype(f32) / sqrt_det_R32
+
+    S = jnp.zeros((ns, ns), dtype=f32).at[ii, jj].set(S_p)
+    S = S + S.T - jnp.diag(jnp.diagonal(S))
+    S = S + jnp.diag(cache.outs)
+    S = S - M[:, None] * M[None, :]
+    return M, S, V.T
 
 
 def moment_match_df(
@@ -405,7 +577,12 @@ def moment_match_df(
       * x_mem / 1/ls / log outs / beta / iK come pre-split from the f64
         master, so kernel evaluations stay consistent with the master
         factorization to ~2^-48 — the property whose loss wrecked plain f32.
-      * Ns x Ns solves/determinants (B, A, Q) run in genuine f64: tiny.
+      * Ns x Ns solves/determinants (B, A, Q) run in df32 as well
+        (``_small_spd_inv_det_df``): their outputs feed the 1e4..1e5
+        exponents, whose ~1e-9 absolute-accuracy need exceeds plain f32 —
+        and running them in df32 instead of f64 keeps the entire rollout
+        free of software-emulated f64 on TPU (measured: the f64 stage was a
+        large share of the per-step kernel-launch count).
       * The (Ns, N, D) mean path and the (P, N, N) covariance pipeline —
         exponent accumulation, exp, beta/iK products, reductions — run in
         compensated f32 (two_prod/two_sum trees).
@@ -413,31 +590,23 @@ def moment_match_df(
     from ..ops.df32 import (
         df_add,
         df_add_f32,
+        df_div,
         df_exp,
         df_mul,
         df_mul_f32,
         df_sum,
-        split_f64,
         two_prod,
     )
 
     f32 = jnp.float32
-    f64 = jnp.float64
     ns, d = cache.ils_hi.shape
     n = cache.x_hi.shape[0]
 
     sv32 = input_var[:ns, :ns].astype(f32)
-    sv64 = sv32.astype(f64)
     mu32 = input_mu.astype(f32)
 
-    ils2_s64 = cache.ils2_64[:, :ns]  # (Ns, ns)
-
-    # ---- small f64 matrices ---------------------------------------------
-    B_ss = jnp.sqrt(ils2_s64)[:, :, None] * sv64[None, :, :] * jnp.sqrt(ils2_s64)[:, None, :] + jnp.eye(ns, dtype=f64)
-    B_inv64, det_B64 = _small_spd_inv_det(B_ss)
-    c64 = cache.outs_64 / jnp.sqrt(det_B64)  # (Ns,)
-    c32 = c64.astype(f32)
-    Bh, Bl = split_f64(B_inv64)
+    ii, jj = _np.triu_indices(ns)
+    Bh, Bl, c32, Qh, Ql, sqrt_det_R32 = _df_stage1(cache, sv32, ii, jj)
 
     # ---- mean + input-output covariance (df over (Ns, N, D)) ------------
     # inp = x_mem - mu, exact given the f32 mu
@@ -474,21 +643,12 @@ def moment_match_df(
     V = c32[:, None] * (V_h + V_l)
 
     # ---- predictive covariance (df over (P, N, N)) -----------------------
-    ii, jj = _np.triu_indices(ns)
     diag_pos = _np.where(ii == jj)[0]
     p = len(ii)
 
-    scale_sum64 = ils2_s64[ii] + ils2_s64[jj]  # (P, ns)
-    d_inv_s64 = 1.0 / scale_sum64
-    A_ss = sv64[None, :, :] + _diag_embed(d_inv_s64)
-    A_inv64, det_A64 = _small_spd_inv_det(A_ss)
-    AinvS64 = jnp.einsum("pkl,lm->pkm", A_inv64, sv64)
-    Q64 = d_inv_s64[..., :, None] * AinvS64 * 0.5  # (P, ns, ns)
-    Qh, Ql = split_f64(Q64)
-    sqrt_det_R32 = jnp.sqrt(det_A64 * jnp.prod(scale_sum64, axis=-1)).astype(f32)  # (P,)
+    ils2_h, ils2_l = cache.ils2_hi[:, :ns], cache.ils2_lo[:, :ns]  # (Ns, ns)
 
     # Xi[m,n,e] = inp[n,e] / ls_m[e]^2 (state cols only)
-    ils2_h, ils2_l = split_f64(ils2_s64)  # (Ns, ns)
     Xi_h, Xi_l = df_mul(
         inp_h[None, :, :ns], inp_l[None, :, :ns], ils2_h[:, None, :], ils2_l[:, None, :]
     )  # (Ns, N, ns)
@@ -563,7 +723,7 @@ def moment_match_df(
 
     S = jnp.zeros((ns, ns), dtype=f32).at[ii, jj].set(S_p)
     S = S + S.T - jnp.diag(jnp.diagonal(S))
-    S = S + jnp.diag(cache.outs_64.astype(f32))
+    S = S + jnp.diag(cache.outs)
     S = S - M[:, None] * M[None, :]
 
     return M, S, V.T
@@ -736,7 +896,14 @@ def predict_trajectory(
         if include_time_model:
             parts.append(jnp.asarray(current_time_idx, dtype=dtype)[None] + t_off[None])
         input_mu = jnp.concatenate(parts)
-        mm = moment_match_df if isinstance(cache, DFCache) else moment_match
+        if isinstance(cache, DFCache):
+            from ..ops import use_df_pallas
+
+            ns_, d_ = cache.ils_hi.shape
+            fused = use_df_pallas(cache.x_hi.shape[0], ns_, d_)
+            mm = moment_match_df_fused if fused else moment_match_df
+        else:
+            mm = moment_match
         dmu, dvar, v = mm(cache, input_mu, input_var)
         new_mu = mu + dmu
         sv = input_var[:ns]  # (Ns, D)
@@ -748,9 +915,11 @@ def predict_trajectory(
     # fusible arithmetic after the block-structure rewrite, so unrolling
     # removes the TPU loop/dynamic-slice overhead (and the backward pass's
     # residual stacking) that dominates at these tiny shapes. The df32 body
-    # is ~10x more ops, so unrolling it blows XLA compile time up by more
-    # than the loop overhead is worth — keep that path rolled.
-    unroll = not isinstance(cache, DFCache)
+    # is ~10x the ops: fully unrolling it OOM-kills the XLA TPU compiler
+    # (measured SIGKILL on v5e remote compile), while the rolled scan pays
+    # ~35 ms/plan of trip overhead (537 ms plan at N=128) — unroll=3 keeps
+    # the graph a third of the full unroll with most of the fusion win.
+    unroll = True if not isinstance(cache, DFCache) else 3
     (_, _), (mus, vars_) = lax.scan(step, (state_mu, state_var), (actions, t_offsets), unroll=unroll)
     states_mu = jnp.concatenate([state_mu[None], mus], axis=0)
     states_var = jnp.concatenate([state_var[None], vars_], axis=0)

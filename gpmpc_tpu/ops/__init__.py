@@ -93,4 +93,19 @@ def cov_core(a, c, u, xj, bi, bj, ik, diag_pos, use_pallas: bool | None = None):
     return cov_core_xla(a, c, u, xj, bi, bj, ik, diag_pos)
 
 
-__all__ = ["cov_core", "cov_core_xla", "disable_pallas", "gram", "PALLAS_COV_MIN_N"]
+def use_df_pallas(n: int, ns: int, d: int) -> bool:
+    """Trace-time dispatch for the fused df32 moment-matching kernel
+    (ops/pallas_df_mm.py): TPU backend, supported shape, GSPMD off."""
+    from .pallas_df_mm import supported
+
+    return (
+        jax.default_backend() not in ("cpu",)
+        and supported(n, ns, d)
+        and not _PALLAS_DISABLED
+    )
+
+
+__all__ = [
+    "cov_core", "cov_core_xla", "disable_pallas", "gram",
+    "use_df_pallas", "PALLAS_COV_MIN_N",
+]

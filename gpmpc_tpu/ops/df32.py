@@ -93,6 +93,14 @@ def two_prod(a: Array, b: Array) -> DF:
     contracts or reassociates pure adds), capturing every rounding error:
     p + e = a*b up to O(eps^2 * |a*b|) from the final error-channel adds.
     """
+    # broadcast first: the masked split bitcasts, and Mosaic (Pallas TPU)
+    # only lowers bitcast on vectors — a scalar operand (e.g. the ln2
+    # constant inside df_exp) must ride the vector shape of its partner
+    shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+    if jnp.shape(a) != shape:
+        a = jnp.broadcast_to(a, shape)
+    if jnp.shape(b) != shape:
+        b = jnp.broadcast_to(b, shape)
     ah, al = _split12(a)
     bh, bl = _split12(b)
     hh = ah * bh  # exact: 12 x 12 bits
@@ -133,6 +141,35 @@ def df_mul_f32(xh: Array, xl: Array, y: Array) -> DF:
 
 def df_neg(xh: Array, xl: Array) -> DF:
     return -xh, -xl
+
+
+def df_div(xh: Array, xl: Array, yh: Array, yl: Array) -> DF:
+    """(xh+xl) / (yh+yl) with relative error O(eps^2).
+
+    One Newton step on the f32 quotient: q1 = fl(xh/yh); the residual
+    x - q1*y is computed exactly via two_prod, and its quotient by yh is
+    the correction. Standard double-double division (Hida/Li/Bailey).
+    """
+    q1 = xh / yh
+    ph, pe = two_prod(q1, yh)
+    # r = x - q1*y, accurate at eps^2 relative to x
+    rh, rl = df_add(xh, xl, -ph, -(pe + q1 * yl))
+    q2 = (rh + rl) / yh
+    return fast_two_sum(q1, q2)
+
+
+def df_sqrt(xh: Array, xl: Array) -> DF:
+    """sqrt(xh+xl) with relative error O(eps^2) (one Newton/Heron step).
+
+    s1 = fl(sqrt(xh)); the residual x - s1^2 is exact via two_prod and the
+    correction is residual / (2 s1). Negative/zero inputs follow jnp.sqrt
+    semantics on the hi part (NaN / 0) — callers guard as for plain sqrt.
+    """
+    s1 = jnp.sqrt(xh)
+    ph, pe = two_prod(s1, s1)
+    rh, rl = df_add(xh, xl, -ph, -pe)
+    s2 = (rh + rl) / (2.0 * s1)
+    return fast_two_sum(s1, s2)
 
 
 def df_sum(hi: Array, lo: Array, axis: int = -1) -> DF:

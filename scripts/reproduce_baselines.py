@@ -86,18 +86,38 @@ def workload_process_control(args):
     return _run_many(lambda s: _pc_env(s), cfg, args.runs, random_actions_init=warm, num_steps=steps)
 
 
-def workload_process_control_constrained(args):
+def workload_mountain_car_constrained(args):
+    """The reference's states-constraints demo (README.md:163-183): mountain
+    car with CDF penalties keeping the car on the cliff (position capped
+    below the top), speed limited, and a left wall. The deliverable is
+    constraint satisfaction — "control is reached with few violations" —
+    not solving, since the goal position sits above the cap."""
+    from config_mountaincar import get_config
+
+    from gpmpc_tpu.envs import MountainCarContinuousEnv
+
+    steps = 40 if args.smoke else 500
+    cfg = get_config(num_repeat_actions=5)
+    cfg.reward.use_constraints = True
+    cfg.reward.state_min = [0.12, 0.25]   # [position, velocity] normalized
+    cfg.reward.state_max = [0.90, 0.75]
+    cfg.reward.area_multiplier = 1.0
+    return _run_many(lambda s: MountainCarContinuousEnv(seed=s), cfg,
+                     args.runs, random_actions_init=20, num_steps=steps)
+
+
+def workload_process_control_action_change(args):
+    """The reference's action-change-limitation demo (README.md:185-196):
+    process control with the derivative action parametrization, no state
+    constraints."""
     from config_process_control import get_config
 
     steps = 60 if args.smoke else 500
     warm = 20 if args.smoke else 100
     cfg = get_config(len_horizon=5, include_time_model=False, num_repeat_actions=5)
-    cfg.reward.use_constraints = True
-    cfg.reward.state_min = [0.1, 0.1]
-    cfg.reward.state_max = [0.9, 0.9]
-    cfg.reward.area_multiplier = 1.0
     cfg.actions.limit_action_change = True
-    cfg.actions.max_change_action_norm = [0.05, 0.05]
+    # the reference's own tuned limits (its config_process_control.py:36-37)
+    cfg.actions.max_change_action_norm = [0.1, 0.2]
     return _run_many(lambda s: _pc_env(s), cfg, args.runs, random_actions_init=warm, num_steps=steps)
 
 
@@ -115,7 +135,8 @@ WORKLOADS = {
     "pendulum": workload_pendulum,
     "mountain_car": workload_mountain_car,
     "process_control": workload_process_control,
-    "process_control_constrained": workload_process_control_constrained,
+    "mountain_car_constrained": workload_mountain_car_constrained,
+    "process_control_action_change": workload_process_control_action_change,
     "process_control_time_varying": workload_process_control_time_varying,
 }
 

@@ -226,6 +226,66 @@ def test_moment_match_df_beats_f32_at_high_cond():
 
 
 @pytest.mark.slow
+def test_fused_stage23_math_matches_xla():
+    """The fused kernel's BODY (ops/pallas_df_mm._mean_part/_pair_part, pure
+    jnp) == the XLA df32 moment matching — runs as plain XLA on CPU.
+
+    The pallas_call lowering of the same body is validated on real TPU
+    hardware (bit-exact M/V, S to 8.5e-14 — see PERFORMANCE.md); Mosaic
+    interpret mode is far too slow for the in-kernel vjp, so that layer is
+    deliberately not exercised here.
+    """
+    from gpmpc_tpu.models.gp import _df_stage1, moment_match_df, split_cache_df
+    from gpmpc_tpu.ops.pallas_df_mm import _mean_part, _pair_part
+
+    cache64, ns, d = _ill_conditioned_state(n=128)
+    dfc = split_cache_df(cache64)
+    nmem = dfc.x_hi.shape[0]
+    mu = jnp.asarray(np.array([0.55, 0.48, 0.52, 0.5]), f32)
+    var = jnp.zeros((d, d), f32).at[:ns, :ns].set(jnp.eye(ns, dtype=f32) * 1e-4)
+
+    M0, S0, V0 = jax.jit(moment_match_df)(dfc, mu, var)
+
+    ii, jj = np.triu_indices(ns)
+    pairs = [(int(a), int(b)) for a, b in zip(ii, jj)]
+    sv32 = var[:ns, :ns]
+    Bh, Bl, c32, Qh, Ql, sdr = jax.jit(lambda s: _df_stage1(dfc, s, ii, jj))(sv32)
+
+    def rows(v):
+        return [jnp.broadcast_to(x, (nmem,)) for x in v.reshape(-1)]
+
+    M_h, M_l, V_h, V_l = _mean_part(
+        rows(mu), rows(Bh), rows(Bl), dfc.x_hi, dfc.x_lo,
+        dfc.ils_hi, dfc.ils_lo, dfc.beta_hi, dfc.beta_lo, ns=ns, d=d,
+    )
+    M1 = c32 * (M_h + M_l)
+    np.testing.assert_allclose(np.asarray(M1), np.asarray(M0), rtol=1e-5, atol=1e-7)
+    V1 = c32[:, None] * (V_h + V_l).reshape(ns, d)
+    np.testing.assert_allclose(np.asarray(V1.T), np.asarray(V0), rtol=1e-4, atol=1e-6)
+
+    qrows_h = rows(Qh)
+    qrows_l = rows(Ql)
+    from gpmpc_tpu.ops.df32 import df_add
+
+    sp_list, corr = [], {}
+    for k, (ip, jp) in enumerate(pairs):
+        s_h, s_l, co_h, co_l = _pair_part(
+            rows(mu), qrows_h[k * ns * ns : (k + 1) * ns * ns],
+            qrows_l[k * ns * ns : (k + 1) * ns * ns],
+            dfc.x_hi, dfc.x_lo, dfc.ils_hi, dfc.ils_lo, dfc.ils2_hi, dfc.ils2_lo,
+            dfc.log_outs_hi, dfc.log_outs_lo, dfc.beta_hi, dfc.beta_lo,
+            dfc.iK_hi, dfc.iK_lo, i_p=ip, j_p=jp, ns=ns, d=d,
+        )
+        if ip == jp:
+            s_h, s_l = df_add(s_h, s_l, -co_h, -co_l)
+        sp_list.append((s_h + s_l) / sdr[k])
+    S1 = jnp.zeros((ns, ns), f32).at[ii, jj].set(jnp.stack(sp_list))
+    S1 = S1 + S1.T - jnp.diag(jnp.diagonal(S1))
+    S1 = S1 + jnp.diag(dfc.outs) - M1[:, None] * M1[None, :]
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S0), rtol=1e-3, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_rollout_df_matches_f64():
     from gpmpc_tpu.models.gp import predict_trajectory, split_cache_df
 
