@@ -530,32 +530,37 @@ def moment_match_df_fused(
     XLA. Dispatch happens in ``predict_trajectory``; the XLA twin is the
     correctness oracle (tests/test_df32.py::test_fused_matches_xla).
     """
-    from ..ops.pallas_df_mm import stage23_pallas
+    from ..ops.pallas_df_mm import full_step_pallas, stage23_pallas
 
     f32 = jnp.float32
     ns, d = cache.ils_hi.shape
+    n = cache.x_hi.shape[0]
     sv32 = input_var[:ns, :ns].astype(f32)
     mu32 = input_mu.astype(f32)
 
     ii, jj = _np.triu_indices(ns)
     diag_pos = _np.where(ii == jj)[0]
     p = len(ii)
-    Bh, Bl, c32, Qh, Ql, sqrt_det_R32 = _df_stage1(cache, sv32, ii, jj)
-
     pairs = tuple((int(a), int(b)) for a, b in zip(ii, jj))
-    M_h, M_l, V_h, V_l, Sp_h, Sp_l, corr_h, corr_l = stage23_pallas(
-        mu32, Bh, Bl, Qh, Ql, cache, pairs
-    )
 
-    M = c32 * (M_h + M_l)
-    V = c32[:, None] * (V_h + V_l)
+    if n <= 128:
+        # whole-step kernel: stage 1 + finish in-kernel; only the 3x3 S
+        # assembly and M M^T remain here
+        M, V, S_p = full_step_pallas(mu32, sv32, cache, pairs)
+    else:
+        Bh, Bl, c32, Qh, Ql, sqrt_det_R32 = _df_stage1(cache, sv32, ii, jj)
+        M_h, M_l, V_h, V_l, Sp_h, Sp_l, corr_h, corr_l = stage23_pallas(
+            mu32, Bh, Bl, Qh, Ql, cache, pairs
+        )
+        M = c32 * (M_h + M_l)
+        V = c32[:, None] * (V_h + V_l)
 
-    from ..ops.df32 import df_add
+        from ..ops.df32 import df_add
 
-    cfull_h = jnp.zeros((p,), f32).at[jnp.asarray(diag_pos)].set(corr_h)
-    cfull_l = jnp.zeros((p,), f32).at[jnp.asarray(diag_pos)].set(corr_l)
-    Sp_h, Sp_l = df_add(Sp_h, Sp_l, -cfull_h, -cfull_l)
-    S_p = (Sp_h + Sp_l).astype(f32) / sqrt_det_R32
+        cfull_h = jnp.zeros((p,), f32).at[jnp.asarray(diag_pos)].set(corr_h)
+        cfull_l = jnp.zeros((p,), f32).at[jnp.asarray(diag_pos)].set(corr_l)
+        Sp_h, Sp_l = df_add(Sp_h, Sp_l, -cfull_h, -cfull_l)
+        S_p = (Sp_h + Sp_l).astype(f32) / sqrt_det_R32
 
     S = jnp.zeros((ns, ns), dtype=f32).at[ii, jj].set(S_p)
     S = S + S.T - jnp.diag(jnp.diagonal(S))

@@ -61,8 +61,11 @@ _OUT_PAD = (8, 128)
 
 def supported(n: int, ns: int, d: int) -> bool:
     # df iK is 2 * Ns * N * N * 4 bytes; N = 512, Ns = 3 -> 6.3 MB, inside
-    # the 16 MB VMEM budget together with one pair's (N, N) E slabs.
-    return 128 <= n <= 512 and (n & (n - 1)) == 0 and ns <= 3 and d <= 8
+    # the VMEM budget together with one pair's (N, N) E slabs. Below 128
+    # the (N,) vectors are sub-lane-width; Mosaic pads them — still a net
+    # win over O(100) XLA launches (the early-episode buckets 32/64 are
+    # where the online-learning demo spends most of its steps).
+    return 32 <= n <= 512 and (n & (n - 1)) == 0 and ns <= 3 and d <= 8
 
 
 def _reduce_last(h, l):
@@ -105,6 +108,119 @@ def _pad_row(v, width=128):
     v = jnp.asarray(v)
     assert v.ndim == 1, v.shape
     return jnp.pad(v, (0, width - v.size))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel stage-1: the Ns x Ns df solves in list form on (N,) lanes
+# ---------------------------------------------------------------------------
+# Every "scalar" is carried as an (N,)-broadcast df pair: redundant across
+# lanes but fully vectorized, which sidesteps Mosaic's scalar-bitcast
+# restriction inside two_prod and keeps the whole step in ONE kernel.
+
+
+def _spd_inv_det_df_list(M):
+    """df32 inverse+det of a small SPD matrix given as nested lists of
+    (N,)-shaped df pairs. Same unrolled Cholesky as gp._small_spd_inv_det_df."""
+    from .df32 import df_div, df_sqrt
+
+    k = len(M)
+    eps = 1e-10
+    some = M[0][0][0]
+    one = (jnp.ones_like(some), jnp.zeros_like(some))
+    L = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            s = M[i][j]
+            for q_ in range(j):
+                pr = df_mul(*L[i][q_], *L[j][q_])
+                s = df_add(s[0], s[1], -pr[0], -pr[1])
+            if i == j:
+                floor = eps * jnp.abs(M[i][i][0]) + 1e-30
+                guard = s[0] < floor
+                s = (jnp.where(guard, floor, s[0]), jnp.where(guard, 0.0, s[1]))
+                L[i][i] = df_sqrt(*s)
+            else:
+                L[i][j] = df_div(*s, *L[j][j])
+    det = df_mul(*L[0][0], *L[0][0])
+    for i in range(1, k):
+        det = df_mul(*det, *df_mul(*L[i][i], *L[i][i]))
+    Li = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            if i == j:
+                Li[i][i] = df_div(*one, *L[i][i])
+            else:
+                s = df_mul(*L[i][j], *Li[j][j])
+                for q_ in range(j + 1, i):
+                    s = df_add(*s, *df_mul(*L[i][q_], *Li[q_][j]))
+                Li[i][j] = df_div(-s[0], -s[1], *L[i][i])
+    Minv = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(k):
+            lo = max(i, j)
+            s = df_mul(*Li[lo][i], *Li[lo][j])
+            for q_ in range(lo + 1, k):
+                s = df_add(*s, *df_mul(*Li[q_][i], *Li[q_][j]))
+            Minv[i][j] = s
+    return Minv, det
+
+
+def _stage1_rows(sv, ils_s, ils2_s, outs_b, pairs, ns):
+    """In-kernel df32 stage 1 (the twin of gp._df_stage1) in list form.
+
+    sv: ns x ns nested list of (N,) f32 (exact, lo = 0). ils_s/ils2_s:
+    per-model lists of (N,)-broadcast df pairs (state cols). outs_b: list
+    of (N,) f32. Returns (binv_rows_h/l flat (m,k,j), c list of (N,) f32,
+    q_rows_h/l flat (p,k,j), sdr list of (N,) f32).
+    """
+    from .df32 import df_div
+
+    zero = jnp.zeros_like(sv[0][0])
+
+    def exact(v):
+        return (v, zero)
+
+    binv_h, binv_l, c_list = [], [], []
+    for m in range(ns):
+        B = [[None] * ns for _ in range(ns)]
+        for i in range(ns):
+            for j in range(ns):
+                pr = df_mul(*ils_s[m][i], *ils_s[m][j])
+                pr = df_mul(pr[0], pr[1], sv[i][j], zero)
+                if i == j:
+                    pr = df_add_f32(pr[0], pr[1], jnp.ones_like(zero))
+                B[i][j] = pr
+        Binv, detB = _spd_inv_det_df_list(B)
+        for i in range(ns):
+            for j in range(ns):
+                binv_h.append(Binv[i][j][0])
+                binv_l.append(Binv[i][j][1])
+        c_list.append(outs_b[m] / jnp.sqrt(detB[0] + detB[1]))
+
+    q_h, q_l, sdr_list = [], [], []
+    for (i_p, j_p) in pairs:
+        ss = [df_add(*ils2_s[i_p][e], *ils2_s[j_p][e]) for e in range(ns)]
+        one = (jnp.ones_like(zero), zero)
+        dinv = [df_div(*one, *ss[e]) for e in range(ns)]
+        A = [[None] * ns for _ in range(ns)]
+        for i in range(ns):
+            for j in range(ns):
+                A[i][j] = df_add_f32(*(dinv[i] if i == j else (zero, zero)), sv[i][j])
+        Ainv, detA = _spd_inv_det_df_list(A)
+        # Q = 0.5 * diag(dinv) @ (Ainv @ sv)
+        for k in range(ns):
+            for j in range(ns):
+                acc = df_mul(Ainv[k][0][0], Ainv[k][0][1], sv[0][j], zero)
+                for l_ in range(1, ns):
+                    acc = df_add(*acc, *df_mul(Ainv[k][l_][0], Ainv[k][l_][1], sv[l_][j], zero))
+                acc = df_mul(*acc, *dinv[k])
+                q_h.append(0.5 * acc[0])
+                q_l.append(0.5 * acc[1])
+        prod_ss = ss[0][0] + ss[0][1]
+        for e in range(1, ns):
+            prod_ss = prod_ss * (ss[e][0] + ss[e][1])
+        sdr_list.append(jnp.sqrt((detA[0] + detA[1]) * prod_ss))
+    return binv_h, binv_l, c_list, q_h, q_l, sdr_list
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +334,55 @@ def _pair_part(mu, q_rows_h, q_rows_l, x_h, x_l, ils_h, ils_l, ils2_h, ils2_l,
     return sp_h, sp_l, corr_h, corr_l
 
 
+def _full_step(mu_rows, sv_rows, x_h, x_l, ils_h, ils_l, ils2_h, ils2_l,
+               logo_h, logo_l, beta_h, beta_l, ik_h, ik_l, outs,
+               *, ns: int, d: int, pairs: Tuple[Tuple[int, int], ...]):
+    """The ENTIRE moment-matching step (stage 1 + 2 + 3 + finish) on (N,)
+    lanes — one kernel body, differentiable wrt mu_rows + sv_rows only.
+
+    Returns (M (ns,), V (ns*d,) flat, S_p (p,)) — final values (c applied,
+    corr subtracted in df, sqrt_det_R divided); only the 3x3 S assembly and
+    the M M^T subtraction remain outside.
+    """
+    from .df32 import df_add as _dfa
+
+    zero = jnp.zeros_like(mu_rows[0])
+
+    def bc_pair(h, l):
+        return (jnp.broadcast_to(h, zero.shape), jnp.broadcast_to(l, zero.shape))
+
+    sv = [[sv_rows[i * ns + j] for j in range(ns)] for i in range(ns)]
+    ils_s = [[bc_pair(ils_h[m, e], ils_l[m, e]) for e in range(ns)] for m in range(ns)]
+    ils2_s = [[bc_pair(ils2_h[m, e], ils2_l[m, e]) for e in range(ns)] for m in range(ns)]
+    outs_b = [jnp.broadcast_to(outs[m], zero.shape) for m in range(ns)]
+
+    binv_h, binv_l, c_list, q_h, q_l, sdr_list = _stage1_rows(
+        sv, ils_s, ils2_s, outs_b, pairs, ns
+    )
+
+    M_h, M_l, V_h, V_l = _mean_part(
+        mu_rows, binv_h, binv_l, x_h, x_l, ils_h, ils_l, beta_h, beta_l, ns=ns, d=d
+    )
+    # finish in-kernel: c and sdr are (N,)-broadcast, the raw reductions are
+    # scalars — scalar*vector broadcasting keeps everything a vector op and
+    # lane 0 is extracted at the very end
+    M_fin = [(c_list[m] * (M_h[m] + M_l[m]))[0] for m in range(ns)]
+    V_fin = [(c_list[m] * (V_h[m * d + e] + V_l[m * d + e]))[0]
+             for m in range(ns) for e in range(d)]
+
+    Sp_fin = []
+    for k, (i_p, j_p) in enumerate(pairs):
+        s_h, s_l, co_h, co_l = _pair_part(
+            mu_rows, q_h[k * ns * ns : (k + 1) * ns * ns], q_l[k * ns * ns : (k + 1) * ns * ns],
+            x_h, x_l, ils_h, ils_l, ils2_h, ils2_l, logo_h, logo_l,
+            beta_h, beta_l, ik_h, ik_l, i_p=i_p, j_p=j_p, ns=ns, d=d,
+        )
+        if i_p == j_p:
+            s_h, s_l = _dfa(s_h, s_l, -co_h, -co_l)
+        Sp_fin.append(((s_h + s_l) / sdr_list[k])[0])
+    return jnp.stack(M_fin), jnp.stack(V_fin), jnp.stack(Sp_fin)
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -290,6 +455,56 @@ def _build(n: int, ns: int, d: int, pairs: Tuple[Tuple[int, int], ...], interpre
             jnp.zeros(128, jnp.float32), jnp.zeros(128, jnp.float32), jnp.zeros(128, jnp.float32),
         ])
 
+    # single-launch backward for small N: the whole-step vjp's live set is
+    # ~65 MB at N=128 (quadratic in N) — inside the raised 100 MB scoped
+    # VMEM budget up to N=128, far outside it beyond
+    def bwd_all_kernel(mu_ref, bh_ref, bl_ref, qh_ref, ql_ref, xh_ref, xl_ref,
+                       ilsh_ref, ilsl_ref, ils2h_ref, ils2l_ref, logoh_ref, logol_ref,
+                       beth_ref, betl_ref, ikh_ref, ikl_ref, ct_ref, gout_ref):
+        def inner(*rows):
+            mu = list(rows[:d])
+            bh = list(rows[d : d + nb])
+            bl = list(rows[d + nb : d + 2 * nb])
+            qh = list(rows[d + 2 * nb : d + 2 * nb + nq])
+            ql = list(rows[d + 2 * nb + nq :])
+            M_h, M_l, V_h, V_l = _mean_part(
+                mu, bh, bl, xh_ref[...], xl_ref[...], ilsh_ref[...], ilsl_ref[...],
+                beth_ref[...], betl_ref[...], ns=ns, d=d,
+            )
+            sp_h, sp_l, co_h, co_l = [], [], [None] * ns, [None] * ns
+            for k, (i_p, j_p) in enumerate(pairs):
+                s_h, s_l, c_h, c_l = _pair_part(
+                    mu, qh[k * ns * ns : (k + 1) * ns * ns], ql[k * ns * ns : (k + 1) * ns * ns],
+                    xh_ref[...], xl_ref[...], ilsh_ref[...], ilsl_ref[...],
+                    ils2h_ref[...], ils2l_ref[...], logoh_ref[0], logol_ref[0],
+                    beth_ref[...], betl_ref[...], ikh_ref[...], ikl_ref[...],
+                    i_p=i_p, j_p=j_p, ns=ns, d=d,
+                )
+                sp_h.append(s_h)
+                sp_l.append(s_l)
+                if i_p == j_p:
+                    co_h[i_p] = c_h
+                    co_l[i_p] = c_l
+            return (M_h, M_l, V_h, V_l, jnp.stack(sp_h), jnp.stack(sp_l),
+                    jnp.stack(co_h), jnp.stack(co_l))
+
+        mu = _rows(mu_ref)
+        bh, bl = _rows(bh_ref), _rows(bl_ref)
+        qh, ql = _rows(qh_ref), _rows(ql_ref)
+        _, pull = jax.vjp(inner, *(mu + bh + bl + qh + ql))
+        ct = ct_ref[...]
+        grads = pull((ct[0, :ns], ct[1, :ns], ct[2, : ns * d], ct[3, : ns * d],
+                      ct[4, :p], ct[5, :p], ct[6, :ns], ct[7, :ns]))
+        sums = [_sum_last(g) for g in grads]
+        gout_ref[...] = jnp.stack([
+            _pad_row(jnp.stack(sums[:d])),
+            _pad_row(jnp.stack(sums[d : d + nb])),
+            _pad_row(jnp.stack(sums[d + nb : d + 2 * nb])),
+            _pad_row(jnp.stack(sums[d + 2 * nb : d + 2 * nb + nq])),
+            _pad_row(jnp.stack(sums[d + 2 * nb + nq :])),
+            jnp.zeros(128, jnp.float32), jnp.zeros(128, jnp.float32), jnp.zeros(128, jnp.float32),
+        ])
+
     def make_bwd_pair_kernel(k: int, i_p: int, j_p: int):
         def bwd_pair_kernel(mu_ref, qh_ref, ql_ref, xh_ref, xl_ref,
                             ilsh_ref, ilsl_ref, ils2h_ref, ils2l_ref,
@@ -332,12 +547,16 @@ def _build(n: int, ns: int, d: int, pairs: Tuple[Tuple[int, int], ...], interpre
         "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     }
     fwd_call = pl.pallas_call(fwd_kernel, out_shape=out_sd, interpret=interpret, **kparams)
-    bwd_mean_call = pl.pallas_call(bwd_mean_kernel, out_shape=out_sd, interpret=interpret, **kparams)
-    bwd_pair_calls = [
-        pl.pallas_call(make_bwd_pair_kernel(k, i_p, j_p), out_shape=out_sd,
-                       interpret=interpret, **kparams)
-        for k, (i_p, j_p) in enumerate(pairs)
-    ]
+    single_bwd = n <= 128
+    if single_bwd:
+        bwd_all_call = pl.pallas_call(bwd_all_kernel, out_shape=out_sd, interpret=interpret, **kparams)
+    else:
+        bwd_mean_call = pl.pallas_call(bwd_mean_kernel, out_shape=out_sd, interpret=interpret, **kparams)
+        bwd_pair_calls = [
+            pl.pallas_call(make_bwd_pair_kernel(k, i_p, j_p), out_shape=out_sd,
+                           interpret=interpret, **kparams)
+            for k, (i_p, j_p) in enumerate(pairs)
+        ]
 
     def _b(v):  # broadcast a flat (K,) differentiable input to (K, N) rows
         return jnp.broadcast_to(v[:, None], v.shape + (n,))
@@ -369,23 +588,32 @@ def _build(n: int, ns: int, d: int, pairs: Tuple[Tuple[int, int], ...], interpre
             _pad_row(cts[0]), _pad_row(cts[1]), _pad_row(cts[2]), _pad_row(cts[3]),
             _pad_row(cts[4]), _pad_row(cts[5]), _pad_row(cts[6]), _pad_row(cts[7]),
         ])
-        with _no64():
-            g_mean = bwd_mean_call(_b(mu), _b(bh), _b(bl), xh, xl, ilsh, ilsl,
-                                   beth, betl, ct_block)
-        gmu = g_mean[0, :d]
-        gbh = g_mean[1, :nb]
-        gbl = g_mean[2, :nb]
-        gq_h_parts, gq_l_parts = [], []
-        qh_b, ql_b = _b(qh), _b(ql)
-        for k, call in enumerate(bwd_pair_calls):
+        if single_bwd:
             with _no64():
-                g = call(_b(mu), qh_b, ql_b, xh, xl, ilsh, ilsl, ils2h, ils2l,
-                         logoh[None], logol[None], beth, betl, ikh, ikl, ct_block)
-            gmu = gmu + g[0, :d]
-            gq_h_parts.append(g[1, : ns * ns])
-            gq_l_parts.append(g[2, : ns * ns])
-        gqh = jnp.concatenate(gq_h_parts)
-        gql = jnp.concatenate(gq_l_parts)
+                g = bwd_all_call(_b(mu), _b(bh), _b(bl), _b(qh), _b(ql), xh, xl,
+                                 ilsh, ilsl, ils2h, ils2l, logoh[None], logol[None],
+                                 beth, betl, ikh, ikl, ct_block)
+            gmu = g[0, :d]
+            gbh, gbl = g[1, :nb], g[2, :nb]
+            gqh, gql = g[3, :nq], g[4, :nq]
+        else:
+            with _no64():
+                g_mean = bwd_mean_call(_b(mu), _b(bh), _b(bl), xh, xl, ilsh, ilsl,
+                                       beth, betl, ct_block)
+            gmu = g_mean[0, :d]
+            gbh = g_mean[1, :nb]
+            gbl = g_mean[2, :nb]
+            gq_h_parts, gq_l_parts = [], []
+            qh_b, ql_b = _b(qh), _b(ql)
+            for k, call in enumerate(bwd_pair_calls):
+                with _no64():
+                    g = call(_b(mu), qh_b, ql_b, xh, xl, ilsh, ilsl, ils2h, ils2l,
+                             logoh[None], logol[None], beth, betl, ikh, ikl, ct_block)
+                gmu = gmu + g[0, :d]
+                gq_h_parts.append(g[1, : ns * ns])
+                gq_l_parts.append(g[2, : ns * ns])
+            gqh = jnp.concatenate(gq_h_parts)
+            gql = jnp.concatenate(gq_l_parts)
         zero = jnp.zeros_like
         return (gmu, gbh, gbl, gqh, gql, zero(xh), zero(xl), zero(ilsh), zero(ilsl),
                 zero(ils2h), zero(ils2l), zero(logoh), zero(logol),
@@ -393,6 +621,113 @@ def _build(n: int, ns: int, d: int, pairs: Tuple[Tuple[int, int], ...], interpre
 
     core.defvjp(core_fwd, core_bwd)
     return core
+
+
+@functools.lru_cache(maxsize=None)
+def _build_full(n: int, ns: int, d: int, pairs: Tuple[Tuple[int, int], ...], interpret: bool):
+    """Whole-step kernels (stage 1 in-kernel): fwd + single vjp kernel.
+
+    Only for n <= 128, where the whole-step vjp fits the raised VMEM budget;
+    differentiable surface is (mu, sv) — 4-8 + ns^2 rows."""
+    p = len(pairs)
+    nsv = ns * ns
+    kw = dict(ns=ns, d=d, pairs=pairs)
+
+    def _rows(ref):
+        return [ref[i] for i in range(ref.shape[0])]
+
+    def fwd_kernel(mu_ref, sv_ref, xh_ref, xl_ref, ilsh_ref, ilsl_ref,
+                   ils2h_ref, ils2l_ref, logoh_ref, logol_ref,
+                   beth_ref, betl_ref, ikh_ref, ikl_ref, outs_ref, out_ref):
+        M, V, Sp = _full_step(
+            _rows(mu_ref), _rows(sv_ref), xh_ref[...], xl_ref[...],
+            ilsh_ref[...], ilsl_ref[...], ils2h_ref[...], ils2l_ref[...],
+            logoh_ref[0], logol_ref[0], beth_ref[...], betl_ref[...],
+            ikh_ref[...], ikl_ref[...], outs_ref[0], **kw,
+        )
+        z = jnp.zeros(128, jnp.float32)
+        out_ref[...] = jnp.stack([_pad_row(M), _pad_row(V), _pad_row(Sp), z, z, z, z, z])
+
+    out_sd = jax.ShapeDtypeStruct(_OUT_PAD, jnp.float32)
+    kparams = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    }
+    fwd_call = pl.pallas_call(fwd_kernel, out_shape=out_sd, interpret=interpret, **kparams)
+
+    def _b(v):
+        return jnp.broadcast_to(v[:, None], v.shape + (n,))
+
+    def _no64():
+        return jax.enable_x64(False)
+
+    # Backward: a whole-step in-kernel vjp (stage 1 included) exceeds what
+    # Mosaic can compile in reasonable time (>40 min, abandoned). Instead
+    # the backward differentiates the mathematically identical SPLIT path —
+    # XLA df32 stage 1 + the stage-2/3 kernels of _build, whose vjp kernels
+    # compile in minutes — via jax.vjp. The fused forward only serves the
+    # (majority) forward-only line-search evaluations; the once-per-
+    # iteration gradient pays one extra stage-2/3 forward launch.
+    split_core = _build(n, ns, d, pairs, interpret)
+
+    def _reference_path(mu, svf, xh, xl, ilsh, ilsl, ils2h, ils2l,
+                        logoh, logol, beth, betl, ikh, ikl, outs):
+        import numpy as _np2
+
+        from ..models.gp import _df_stage1
+
+        class _Shim:
+            pass
+
+        shim = _Shim()
+        shim.ils_hi, shim.ils_lo = ilsh, ilsl
+        shim.ils2_hi, shim.ils2_lo = ils2h, ils2l
+        shim.outs = outs
+        ii = _np2.array([a for a, _ in pairs])
+        jj = _np2.array([b for _, b in pairs])
+        Bh, Bl, c32, Qh, Ql, sdr = _df_stage1(shim, svf.reshape(ns, ns), ii, jj)
+        raw = split_core(mu, Bh.reshape(-1), Bl.reshape(-1), Qh.reshape(-1), Ql.reshape(-1),
+                         xh, xl, ilsh, ilsl, ils2h, ils2l, logoh, logol, beth, betl, ikh, ikl)
+        M_h, M_l, V_h, V_l, Sp_h, Sp_l, corr_h, corr_l = raw
+        M = c32 * (M_h + M_l)
+        V = (jnp.repeat(c32, d) * (V_h + V_l))
+        diag_pos = _np2.where(ii == jj)[0]
+        cfull_h = jnp.zeros((p,), jnp.float32).at[jnp.asarray(diag_pos)].set(corr_h)
+        cfull_l = jnp.zeros((p,), jnp.float32).at[jnp.asarray(diag_pos)].set(corr_l)
+        sh, sl = df_add(Sp_h, Sp_l, -cfull_h, -cfull_l)
+        Sp = (sh + sl) / sdr
+        return M, V, Sp
+
+    @jax.custom_vjp
+    def core(mu, svf, xh, xl, ilsh, ilsl, ils2h, ils2l,
+             logoh, logol, beth, betl, ikh, ikl, outs):
+        with _no64():
+            block = fwd_call(_b(mu), _b(svf), xh, xl, ilsh, ilsl, ils2h, ils2l,
+                             logoh[None], logol[None], beth, betl, ikh, ikl, outs[None])
+        return block[0, :ns], block[1, : ns * d], block[2, :p]
+
+    def core_fwd(*args):
+        return core(*args), args
+
+    def core_bwd(args, cts):
+        _, pull = jax.vjp(_reference_path, *args)
+        return pull(cts)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def full_step_pallas(mu, sv, cache, pairs: Tuple[Tuple[int, int], ...]):
+    """Whole-step fused call (N <= 128). Returns (M (Ns,), V (Ns, D), S_p (P,))
+    — final values; caller assembles the 3x3 S and subtracts M M^T."""
+    ns, d = cache.ils_hi.shape
+    n = cache.x_hi.shape[0]
+    fn = _build_full(n, ns, d, tuple(pairs), jax.default_backend() == "cpu")
+    M, V_flat, Sp = fn(
+        mu, sv.reshape(-1), cache.x_hi, cache.x_lo, cache.ils_hi, cache.ils_lo,
+        cache.ils2_hi, cache.ils2_lo, cache.log_outs_hi, cache.log_outs_lo,
+        cache.beta_hi, cache.beta_lo, cache.iK_hi, cache.iK_lo, cache.outs,
+    )
+    return M, V_flat.reshape(ns, d), Sp
 
 
 def stage23_pallas(mu, binv_h, binv_l, q_h, q_l, cache, pairs: Tuple[Tuple[int, int], ...]):
