@@ -197,14 +197,28 @@ class MemoryConfig:
 
 @dataclass
 class TrainingConfig:
-    """Hyperparameter-training config (reference training_config.py:3-24)."""
+    """Hyperparameter-training config (reference training_config.py:3-24).
+
+    ``lr_train`` is the torch-LBFGS learning rate of the reference's MLL
+    optimizer (gp_model.py:262-269, line_search_fn='strong_wolfe'); here it
+    is the base trial step of the on-device L-BFGS line search, with
+    doubling expansion candidates standing in for strong-wolfe bracketing
+    growth (controllers/lbfgs.py `init_step_scale`).
+
+    ``step_print_train`` (the reference's per-iteration print cadence inside
+    the spawned training process, gp_model.py:270-279) is accepted for
+    config-surface parity but INTENTIONALLY INERT, like ``eps``: training
+    here is one fused on-device L-BFGS program with no per-iteration host
+    callback; ``print_train`` instead prints the per-model losses once per
+    completed training (controllers/controller.py check_and_close_processes).
+    """
 
     lr_train: float = 7e-3
     iter_train: int = 15
     training_frequency: int = 25
     clip_grad_value: float = 1e-3
     print_train: bool = False
-    step_print_train: int = 5
+    step_print_train: int = 5  # inert — see class docstring
     # TPU-native additions: number of random-restart initializations evaluated
     # in parallel (the reference runs exactly one random re-init per training
     # call, gp_model.py:236-253), and whether training is dispatched

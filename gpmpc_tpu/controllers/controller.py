@@ -44,6 +44,11 @@ from .planner import Planner, PlanSpec
 
 NUM_DECIMALS_REPR = 3
 
+# rng-domain separator for the MLL-training key schedule; shared by the host
+# controller and the fused on-device episode (runner/jit_episode.py) so the
+# two paths train with identical randomness given the same seed
+TRAIN_KEY_TAG = 0x7A17
+
 
 @dataclass
 class IterationInformation:
@@ -219,7 +224,11 @@ class GpMpcController:
         self.info_iters: Dict[str, List] = {}
         self.iter_info: Optional[IterationInformation] = None
         self._rng = np.random.default_rng(seed)
-        self._train_key = jax.random.PRNGKey(seed)
+        # Deterministic training-key protocol SHARED with the fused on-device
+        # episode (runner/jit_episode.py): per-dispatch key =
+        # fold_in(fold_in(PRNGKey(seed), TRAIN_KEY_TAG), step_index). Makes
+        # host-vs-fused training bit-comparable (tests/test_cross_path.py).
+        self._train_key = jax.random.fold_in(jax.random.PRNGKey(seed), TRAIN_KEY_TAG)
 
         self.n_horizon_flat = config.controller.len_horizon * self.dim_action
 
@@ -233,6 +242,10 @@ class GpMpcController:
             self.memory.prepare_for_model()
             state_mu, state_var = self.observation_state_mapper.get_state(obs_mu, obs_var)
             x_pad, y_pad, mask, _ = self.memory.get_padded()
+            # dummy-placeholder flag from the Memory's OWN emptiness state —
+            # never inferred from data values (a legitimate first transition
+            # at the normalized origin must not be mistaken for the dummy)
+            is_dummy = self.memory.len_mem_model == 0
 
             if random or not self.config.controller.optimize:
                 actions_mpc = self._rng.uniform(size=(self.n_horizon_flat,)).astype(self.dtype)
@@ -240,7 +253,7 @@ class GpMpcController:
                     x_pad, y_pad, mask, self.gp_params, self.bounds,
                     jnp.asarray(state_mu), jnp.asarray(state_var),
                     jnp.asarray(actions_mpc), jnp.asarray(self.action_model_previous_iter),
-                    self.iter_ctrl,
+                    self.iter_ctrl, is_dummy=is_dummy,
                 )
                 actions_mpc_opt = actions_mpc
             else:
@@ -249,7 +262,7 @@ class GpMpcController:
                     x_pad, y_pad, mask, self.gp_params, self.bounds,
                     jnp.asarray(state_mu), jnp.asarray(state_var),
                     jnp.asarray(inits), jnp.asarray(self.action_model_previous_iter),
-                    self.iter_ctrl,
+                    self.iter_ctrl, is_dummy=is_dummy,
                 )
                 actions_mpc_opt = np.asarray(actions_mpc_opt)
             self.actions_mpc_previous_iter = np.asarray(actions_mpc_opt).copy()
@@ -345,7 +358,10 @@ class GpMpcController:
         reference's spawned process, gp_mpc_controller.py:201-214)."""
         self.memory.prepare_for_model()
         x_pad, y_pad, mask, _ = self.memory.get_padded()
-        self._train_key, sub = jax.random.split(self._train_key)
+        # iter_ctrl here equals (env step index + 1) at the firing condition
+        # (add_memory fires when iter_ctrl % frequency == 0 after get_action
+        # incremented it) — the fused path folds in the same (t + 1)
+        sub = jax.random.fold_in(self._train_key, self.iter_ctrl)
         args = (self.gp_params, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask), sub)
         if self._train_device is not None:
             args = jax.device_put(args, self._train_device)

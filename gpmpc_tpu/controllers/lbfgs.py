@@ -77,6 +77,7 @@ def _line_search(
     lower: Optional[jnp.ndarray],
     upper: Optional[jnp.ndarray],
     maxls: int,
+    step_scale: Optional[float] = None,
 ):
     """Backtracking Armijo search with box clipping of each trial point.
 
@@ -107,7 +108,16 @@ def _line_search(
         return jnp.clip(z, lower, upper)
 
     dtype = x.dtype
-    steps = (0.5 ** jnp.arange(maxls, dtype=dtype))  # (maxls,) : 1, 1/2, 1/4, ...
+    if step_scale is None:
+        steps = 0.5 ** jnp.arange(maxls, dtype=dtype)  # (maxls,) : 1, 1/2, 1/4, ...
+    else:
+        # torch-LBFGS ``lr`` semantics (reference gp_model.py:262-269 trains
+        # with LBFGS(lr=lr_train, line_search_fn='strong_wolfe'): lr is the
+        # base trial step, and the strong-wolfe bracketing may EXPAND it).
+        # The batched equivalent: a geometric ladder with base step_scale and
+        # doubling expansion candidates, largest first — first-accept then
+        # picks the largest admissible step, mirroring the bracketing growth.
+        steps = step_scale * (2.0 ** jnp.arange(maxls - 1, -1, -1, dtype=dtype))
     x_trials = jax.vmap(lambda s: project(x + s * direction))(steps)  # (maxls, n)
     f_trials = jax.vmap(fun)(x_trials)  # (maxls,)
 
@@ -140,6 +150,7 @@ def _lbfgs_core(
     keep_best: bool,
     has_bounds: bool,
     maxfun: Optional[int] = None,
+    init_step_scale: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     vg_raw = jax.value_and_grad(fun)
 
@@ -187,7 +198,7 @@ def _lbfgs_core(
 
         x_new, f_new, g_new, success, consumed = _line_search(
             fun, vg, state.x, state.f, state.g, direction, lower if has_bounds else None,
-            upper if has_bounds else None, maxls,
+            upper if has_bounds else None, maxls, step_scale=init_step_scale,
         )
 
         # SciPy L-BFGS-B's `maxfun` total-evaluation budget (the reference
@@ -244,11 +255,17 @@ def lbfgs_minimize(
     clip_grad_value: Optional[float] = None,
     keep_best: bool = False,
     maxfun: Optional[int] = None,
+    init_step_scale: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Unconstrained L-BFGS. Returns (x, f) — best-ever if keep_best."""
+    """Unconstrained L-BFGS. Returns (x, f) — best-ever if keep_best.
+
+    ``init_step_scale`` is the torch-LBFGS ``lr`` equivalent: the base trial
+    step of the line search (with doubling expansion candidates). None keeps
+    the plain backtracking ladder starting at 1."""
     return _lbfgs_core(
         fun, x0, None, None, int(maxiter), int(maxcor), int(maxls), clip_grad_value, bool(keep_best), False,
         maxfun=None if maxfun is None else int(maxfun),
+        init_step_scale=None if init_step_scale is None else float(init_step_scale),
     )
 
 

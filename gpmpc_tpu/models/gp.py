@@ -543,9 +543,11 @@ def moment_match_df_fused(
     p = len(ii)
     pairs = tuple((int(a), int(b)) for a, b in zip(ii, jj))
 
-    if n <= 128:
+    if n <= 512:
         # whole-step kernel: stage 1 + finish in-kernel; only the 3x3 S
-        # assembly and M M^T remain here
+        # assembly and M M^T remain here. Forward-only line-search
+        # evaluations then cost ONE launch per horizon step at every
+        # supported bucket (the backward differentiates the split path).
         M, V, S_p = full_step_pallas(mu32, sv32, cache, pairs)
     else:
         Bh, Bl, c32, Qh, Ql, sqrt_det_R32 = _df_stage1(cache, sv32, ii, jj)
@@ -1077,6 +1079,9 @@ def train_hyperparams(
             maxls=cfg.maxls,
             clip_grad_value=cfg.clip_grad_value,
             keep_best=True,
+            # the reference's torch-LBFGS lr (config lr_train): base trial
+            # step of the strong-wolfe-style line search (gp_model.py:262)
+            init_step_scale=cfg.lr,
         )
         return best_x, best_f
 

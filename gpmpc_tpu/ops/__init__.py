@@ -18,6 +18,13 @@ import jax.numpy as jnp
 # the partitioner handles (parallel/sharding.build_nsharded_plan_fn).
 _PALLAS_DISABLED = False
 
+# Trace-time cov-core override: the N-sharded planner installs a
+# shard-mapped core here (parallel/sharding.make_shardmapped_cov_core) so
+# the multi-chip path keeps the fused Pallas kernels — each device runs the
+# kernel on its local row shard and psums the partials — instead of
+# forfeiting them to the disable_pallas fallback (VERDICT r2 item 4).
+_COV_CORE_OVERRIDE = None
+
 
 @contextlib.contextmanager
 def disable_pallas():
@@ -28,6 +35,19 @@ def disable_pallas():
         yield
     finally:
         _PALLAS_DISABLED = prev
+
+
+@contextlib.contextmanager
+def override_cov_core(fn):
+    """Install fn(a, c, u, xj, bi, bj, ik, diag_pos) -> (s_p, corr) as the
+    cov-core implementation for traces performed inside the context."""
+    global _COV_CORE_OVERRIDE
+    prev = _COV_CORE_OVERRIDE
+    _COV_CORE_OVERRIDE = fn
+    try:
+        yield
+    finally:
+        _COV_CORE_OVERRIDE = prev
 
 
 def gram(lengthscales, outputscales, x, use_pallas: bool | None = None):
@@ -75,6 +95,8 @@ def cov_core_xla(a, c, u, xj, bi, bj, ik, diag_pos):
 
 def cov_core(a, c, u, xj, bi, bj, ik, diag_pos, use_pallas: bool | None = None):
     """Dispatch the moment-matching covariance core (see models/gp.py)."""
+    if _COV_CORE_OVERRIDE is not None:
+        return _COV_CORE_OVERRIDE(a, c, u, xj, bi, bj, ik, diag_pos)
     n = a.shape[1]
     if use_pallas is None:
         from .pallas_moment_cov import supported
@@ -107,5 +129,5 @@ def use_df_pallas(n: int, ns: int, d: int) -> bool:
 
 __all__ = [
     "cov_core", "cov_core_xla", "disable_pallas", "gram",
-    "use_df_pallas", "PALLAS_COV_MIN_N",
+    "override_cov_core", "use_df_pallas", "PALLAS_COV_MIN_N",
 ]

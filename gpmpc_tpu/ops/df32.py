@@ -125,11 +125,32 @@ def df_add_f32(xh: Array, xl: Array, y: Array) -> DF:
     return fast_two_sum(sh, se)
 
 
+@jax.custom_jvp
 def df_mul(xh: Array, xl: Array, yh: Array, yl: Array) -> DF:
-    """(xh+xl) * (yh+yl) with relative error O(eps^2)."""
+    """(xh+xl) * (yh+yl) with relative error O(eps^2).
+
+    Custom derivative (semantic product rule in plain f32): the df pair
+    represents ONE number, so d(x*y) = y dx + x dy with x = xh+xl collapsed.
+    Autodiff THROUGH the error-free transformations computes the same
+    Jacobian (the split bitcasts carry zero gradient and the partial-product
+    chain sums to it) but reverse mode then saves ~10 (N, N)-sized residuals
+    per df_mul — the dominant VMEM/HBM load of the moment-matching backward.
+    The custom rule saves two. Gradients only steer the L-BFGS optimizers
+    (objective VALUES come from the compensated forward), so f32-grade
+    gradient accuracy is the design point (PERFORMANCE.md).
+    """
     ph, pe = two_prod(xh, yh)
     pe = pe + (xh * yl + xl * yh)
     return fast_two_sum(ph, pe)
+
+
+@df_mul.defjvp
+def _df_mul_jvp(primals, tangents):
+    xh, xl, yh, yl = primals
+    dxh, dxl, dyh, dyl = tangents
+    out = df_mul(xh, xl, yh, yl)
+    dv = (dxh + dxl) * (yh + yl) + (dyh + dyl) * (xh + xl)
+    return out, (dv, jnp.zeros_like(dv))
 
 
 def df_mul_f32(xh: Array, xl: Array, y: Array) -> DF:
@@ -219,8 +240,16 @@ _EXP_COEF = [
 ]
 
 
+@jax.custom_jvp
 def df_exp(xh: Array, xl: Array) -> DF:
     """exp of a df number as a df, accurate to ~1e-13 relative.
+
+    Custom derivative: d exp = exp, so the backward multiplies the
+    (collapsed) cotangent by the saved OUTPUT in plain f32 — no residuals
+    from the degree-12 Horner chain (which reverse-mode would otherwise
+    checkpoint as ~25 (N, N)-sized df intermediates per call: the single
+    largest VMEM/HBM load of the moment-matching backward). Same
+    f32-grade-gradient design point as df_mul.
 
     The obvious ``jnp.exp(hi) * (1 + lo)`` is NOT enough: the hardware f32
     exp carries ~2^-24 relative error, and the moment-matching covariance
@@ -246,6 +275,10 @@ def df_exp(xh: Array, xl: Array) -> DF:
     jnp.round and the integer bit-assembly have zero gradient, so autodiff
     sees the smooth r-path only.
     """
+    return _df_exp_impl(xh, xl)
+
+
+def _df_exp_impl(xh, xl):
     k = jnp.round(xh * _INV_LN2)
     ph, pe = two_prod(k, _LN2_HI)
     pe = pe + k * _LN2_LO
@@ -262,6 +295,13 @@ def df_exp(xh: Array, xl: Array) -> DF:
     scale = lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
     scale = jnp.where(k < -126, jnp.float32(0), scale)
     return eh * scale, el * scale
+
+
+@df_exp.defjvp
+def _df_exp_jvp(primals, tangents):
+    eh, el = _df_exp_impl(*primals)
+    dv = (tangents[0] + tangents[1]) * (eh + el)
+    return (eh, el), (dv, jnp.zeros_like(dv))
 
 
 def split_f64(x) -> DF:

@@ -39,9 +39,12 @@ only contiguous-half-slice reductions.
 Outputs are RAW df partials (M, V before the c scaling; S_p before the
 sqrt_det_R division; corr separate) packed into one (8, 128) f32 block.
 ``supported(n, ns, d)`` gates dispatch: N <= 512 keeps the df iK slabs
-inside VMEM. f32 only; bucket sizes are powers of two (memory/buffer.py
-guarantees this). No reference-repo counterpart — the reference runs global
-float64 on CPU (total_config.py:11).
+inside VMEM. f32 only. Bucket sizes (memory/buffer.py) are 2^k or 3*2^k
+(32/64/128/192/256/384/512): non-power-of-two N is zero-padded to the next
+power of two OUTSIDE the kernel (``_pad_cache_pow2`` — exact, every
+reduction term carries a zero beta/iK factor on pad rows), so the kernel
+always runs at pow2 lane counts. No reference-repo counterpart — the
+reference runs global float64 on CPU (total_config.py:11).
 """
 
 from __future__ import annotations
@@ -64,8 +67,14 @@ def supported(n: int, ns: int, d: int) -> bool:
     # the VMEM budget together with one pair's (N, N) E slabs. Below 128
     # the (N,) vectors are sub-lane-width; Mosaic pads them — still a net
     # win over O(100) XLA launches (the early-episode buckets 32/64 are
-    # where the online-learning demo spends most of its steps).
-    return 32 <= n <= 512 and (n & (n - 1)) == 0 and ns <= 3 and d <= 8
+    # where the online-learning demo spends most of its steps). Non-pow2 N
+    # (the 3*2^k buckets 192/384 of memory/buffer.py — incl. the flagship
+    # N=300 workload's 384) is zero-padded OUTSIDE the kernel to the next
+    # power of two (see _pad_cache_pow2), so the kernel itself always runs
+    # at pow2 shapes — Mosaic's 1-D vector ops mis-lower at 3*2^k lane
+    # counts (measured: "vector types must have positive constant sizes",
+    # tpu.concatenate 128+64 -> 192 internal error).
+    return 32 <= n <= 512 and ns <= 3 and d <= 8
 
 
 def _reduce_last(h, l):
@@ -73,9 +82,11 @@ def _reduce_last(h, l):
 
     Contiguous half-slices (no strides, no reshapes) are the one reduction
     pattern Mosaic lowers unconditionally; the pairing is still a binary
-    tree, so the error bound matches df32.df_sum.
+    tree, so the error bound matches df32.df_sum. Requires pow2 sizes —
+    non-pow2 operands are zero-padded before entering the kernel.
     """
     n = h.shape[-1]
+    assert (n & (n - 1)) == 0, n
     while n > 1:
         half = n // 2
         h, l = df_add(h[..., :half], l[..., :half], h[..., half:n], l[..., half:n])
@@ -86,6 +97,7 @@ def _reduce_last(h, l):
 def _reduce_2d(h, l):
     """(N, N) df -> scalar df: halve rows (sublanes), then lanes."""
     n = h.shape[0]
+    assert (n & (n - 1)) == 0, n
     while n > 1:
         half = n // 2
         h, l = df_add(h[:half], l[:half], h[half:n], l[half:n])
@@ -96,6 +108,7 @@ def _reduce_2d(h, l):
 def _sum_last(v):
     """Plain-f32 contiguous-halving sum of (.., N) gradient rows."""
     m = v.shape[-1]
+    assert (m & (m - 1)) == 0, m
     while m > 1:
         half = m // 2
         v = v[..., :half] + v[..., half:m]
@@ -716,16 +729,46 @@ def _build_full(n: int, ns: int, d: int, pairs: Tuple[Tuple[int, int], ...], int
     return core
 
 
+def _pad_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def _pad_cache_pow2(cache):
+    """Zero-pad the N-axis slabs of a DFCache to the next power of two.
+
+    EXACT: every reduction term of the kernel carries a beta (mean path,
+    S_p) or iK (corr) factor per memory index, and both are zero on pad
+    rows; the padded exponents stay finite (x = 0 rows give large-negative
+    ARD exponents -> exp underflows to 0). This keeps the kernel itself at
+    pow2 lane counts, which is the shape family Mosaic lowers reliably
+    (non-pow2 1-D vectors mis-lower — see supported()). Returns
+    (n_pad, padded slab tuple).
+    """
+    n = cache.x_hi.shape[0]
+    n_pad = _pad_pow2(n)
+    if n_pad == n:
+        return n, (cache.x_hi, cache.x_lo, cache.beta_hi, cache.beta_lo,
+                   cache.iK_hi, cache.iK_lo)
+    e = n_pad - n
+    return n_pad, (
+        jnp.pad(cache.x_hi, ((0, e), (0, 0))), jnp.pad(cache.x_lo, ((0, e), (0, 0))),
+        jnp.pad(cache.beta_hi, ((0, 0), (0, e))), jnp.pad(cache.beta_lo, ((0, 0), (0, e))),
+        jnp.pad(cache.iK_hi, ((0, 0), (0, e), (0, e))), jnp.pad(cache.iK_lo, ((0, 0), (0, e), (0, e))),
+    )
+
+
 def full_step_pallas(mu, sv, cache, pairs: Tuple[Tuple[int, int], ...]):
-    """Whole-step fused call (N <= 128). Returns (M (Ns,), V (Ns, D), S_p (P,))
+    """Whole-step fused call. Returns (M (Ns,), V (Ns, D), S_p (P,))
     — final values; caller assembles the 3x3 S and subtracts M M^T."""
     ns, d = cache.ils_hi.shape
     n = cache.x_hi.shape[0]
-    fn = _build_full(n, ns, d, tuple(pairs), jax.default_backend() == "cpu")
+    assert supported(n, ns, d), f"unsupported fused-df shape N={n}"
+    n_pad, (xh, xl, bh, bl, ikh, ikl) = _pad_cache_pow2(cache)
+    fn = _build_full(n_pad, ns, d, tuple(pairs), jax.default_backend() == "cpu")
     M, V_flat, Sp = fn(
-        mu, sv.reshape(-1), cache.x_hi, cache.x_lo, cache.ils_hi, cache.ils_lo,
+        mu, sv.reshape(-1), xh, xl, cache.ils_hi, cache.ils_lo,
         cache.ils2_hi, cache.ils2_lo, cache.log_outs_hi, cache.log_outs_lo,
-        cache.beta_hi, cache.beta_lo, cache.iK_hi, cache.iK_lo, cache.outs,
+        bh, bl, ikh, ikl, cache.outs,
     )
     return M, V_flat.reshape(ns, d), Sp
 
@@ -739,15 +782,16 @@ def stage23_pallas(mu, binv_h, binv_l, q_h, q_l, cache, pairs: Tuple[Tuple[int, 
     """
     ns, d = cache.ils_hi.shape
     n = cache.x_hi.shape[0]
-    assert (n & (n - 1)) == 0, "fused df kernel needs power-of-two buckets"
+    assert supported(n, ns, d), f"unsupported fused-df shape N={n}"
+    n_pad, (xh, xl, bh, bl, ikh, ikl) = _pad_cache_pow2(cache)
     # interpret mode makes the kernel (and the CPU oracle tests) runnable
     # off-TPU; dispatch (ops.use_df_pallas) never selects it there for perf
-    fn = _build(n, ns, d, tuple(pairs), jax.default_backend() == "cpu")
+    fn = _build(n_pad, ns, d, tuple(pairs), jax.default_backend() == "cpu")
     out = fn(
         mu, binv_h.reshape(-1), binv_l.reshape(-1), q_h.reshape(-1), q_l.reshape(-1),
-        cache.x_hi, cache.x_lo, cache.ils_hi, cache.ils_lo,
+        xh, xl, cache.ils_hi, cache.ils_lo,
         cache.ils2_hi, cache.ils2_lo, cache.log_outs_hi, cache.log_outs_lo,
-        cache.beta_hi, cache.beta_lo, cache.iK_hi, cache.iK_lo,
+        bh, bl, ikh, ikl,
     )
     M_h, M_l, V_h, V_l, Sp_h, Sp_l, corr_h, corr_l = out
     return (M_h, M_l, V_h.reshape(ns, d), V_l.reshape(ns, d),

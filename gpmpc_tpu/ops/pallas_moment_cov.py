@@ -64,12 +64,17 @@ def supported(n: int) -> bool:
     return n % 8 == 0
 
 
-def _specs(tn: int, n: int, ns: int):
-    """Row-tiled and full-column block specs at grid (b, i)."""
+def _specs(tn: int, nc: int, ns: int):
+    """Row-tiled and full-column block specs at grid (b, i).
+
+    Row and column extents are independent (nc = column count): under the
+    N-sharded multi-chip path each device's kernel sees its LOCAL row shard
+    against the full column axis (parallel/sharding.py shard-mapped cov
+    core), so the slabs are rectangular there."""
     row_vec = pl.BlockSpec((1, tn, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-    col_vec = pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    col_vec = pl.BlockSpec((1, nc, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
     row_mat = pl.BlockSpec((1, tn, ns), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-    col_mat = pl.BlockSpec((1, n, ns), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    col_mat = pl.BlockSpec((1, nc, ns), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
     scalar = pl.BlockSpec((1, 1, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
     partial = pl.BlockSpec((1, 1) + _PAD, lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
     return row_vec, col_vec, row_mat, col_mat, scalar, partial
@@ -103,43 +108,56 @@ def _emit_partial(out_ref, value):
 # ---------------------------------------------------------------------------
 
 
-def _sp_kernel(a_ref, c_ref, u_ref, xj_ref, bi_ref, bj_ref, out_ref):
+def _cov_fwd_kernel(a_ref, c_ref, u_ref, xj_ref, bi_ref, bj_ref, ik_ref, sp_ref, co_ref):
+    """ONE pass per (pair, row-tile): the E slab is computed once and feeds
+    BOTH contractions (S_p and corr). The iK block arrives slot-indexed
+    (see _ik_slot): for non-diagonal pairs it is a valid-but-unused model
+    slab and the corr partial is discarded outside — the extra
+    multiply-reduce is far cheaper than the separate corr pass's E slab
+    recompute + second kernel launch it replaces (VERDICT r2 item 3)."""
     e = _e_slab(a_ref, c_ref, u_ref, xj_ref)
-    _emit_partial(out_ref, jnp.sum(e * bi_ref[0] * bj_ref[0].reshape(1, -1)))
+    _emit_partial(sp_ref, jnp.sum(e * bi_ref[0] * bj_ref[0].reshape(1, -1)))
+    _emit_partial(co_ref, jnp.sum(e * ik_ref[0]))
 
 
-def _corr_kernel(a_ref, c_ref, u_ref, xj_ref, ik_ref, out_ref):
-    e = _e_slab(a_ref, c_ref, u_ref, xj_ref)
-    _emit_partial(out_ref, jnp.sum(e * ik_ref[0]))
+def _ik_slot(diag_pos: Tuple[int, ...]):
+    """Grid-index map pair index -> iK model slot.
+
+    For the b-th pair (triu order), the owning model slot is the number of
+    diagonal pairs strictly before b — exact on diagonal pairs, in-bounds
+    (and unused) on off-diagonal ones. Pure scalar arithmetic on the grid
+    index, so it lowers in the TPU scalar prelude (no pl.program_id — these
+    kernels run under two levels of vmap)."""
+
+    def slot(b):
+        s = jnp.int32(0)
+        for p in diag_pos:
+            s = s + (b > p).astype(jnp.int32)
+        return s
+
+    return slot
 
 
-@functools.partial(jax.jit, static_argnames=("tn",))
-def _sp_call(a, c, u, xj, bi, bj, tn: int):
-    b, n, ns = u.shape
-    row_vec, col_vec, row_mat, col_mat, _, partial = _specs(tn, n, ns)
-    parts = pl.pallas_call(
-        _sp_kernel,
-        grid=(b, n // tn),
-        in_specs=[row_vec, col_vec, row_mat, col_mat, row_vec, col_vec],
-        out_specs=partial,
-        out_shape=jax.ShapeDtypeStruct((b, n // tn) + _PAD, jnp.float32),
-    )(a, c, u, xj, bi, bj)
-    return jnp.sum(parts[:, :, 0, 0], axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("tn",))
-def _corr_call(a_d, c_d, u_d, xj_d, ik, tn: int):
-    m, n, ns = u_d.shape
-    row_vec, col_vec, row_mat, col_mat, _, partial = _specs(tn, n, ns)
-    ik_spec = pl.BlockSpec((1, tn, n), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-    parts = pl.pallas_call(
-        _corr_kernel,
-        grid=(m, n // tn),
-        in_specs=[row_vec, col_vec, row_mat, col_mat, ik_spec],
-        out_specs=partial,
-        out_shape=jax.ShapeDtypeStruct((m, n // tn) + _PAD, jnp.float32),
-    )(a_d, c_d, u_d, xj_d, ik)
-    return jnp.sum(parts[:, :, 0, 0], axis=1)
+@functools.partial(jax.jit, static_argnames=("tn", "diag_pos"))
+def _cov_fwd_call(a, c, u, xj, bi, bj, ik, tn: int, diag_pos: Tuple[int, ...]):
+    b, nr, ns = u.shape
+    nc = xj.shape[1]
+    row_vec, col_vec, row_mat, col_mat, _, partial = _specs(tn, nc, ns)
+    slot = _ik_slot(diag_pos)
+    ik_spec = pl.BlockSpec((1, tn, nc), lambda bb, i: (slot(bb), i, 0), memory_space=pltpu.VMEM)
+    sp_parts, co_parts = pl.pallas_call(
+        _cov_fwd_kernel,
+        grid=(b, nr // tn),
+        in_specs=[row_vec, col_vec, row_mat, col_mat, row_vec, col_vec, ik_spec],
+        out_specs=[partial, partial],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nr // tn) + _PAD, jnp.float32),
+            jax.ShapeDtypeStruct((b, nr // tn) + _PAD, jnp.float32),
+        ],
+    )(a, c, u, xj, bi, bj, ik)
+    s_p = jnp.sum(sp_parts[:, :, 0, 0], axis=1)
+    corr = jnp.sum(co_parts[np.asarray(diag_pos), :, 0, 0], axis=1)
+    return s_p, corr
 
 
 # ---------------------------------------------------------------------------
@@ -154,11 +172,15 @@ def _corr_call(a_d, c_d, u_d, xj_d, ik, tn: int):
 # buffers blow the 16 MB scoped-VMEM limit at N >= 1536.
 
 
-def _bwd_row_kernel(a_ref, c_ref, u_ref, xj_ref, wr_ref, wc_ref, g_ref, ga_ref, gu_ref, gwr_ref):
+def _bwd_row_kernel(a_ref, c_ref, u_ref, xj_ref, wr_ref, wc_ref, g_ref, ik_ref, gco_ref,
+                    ga_ref, gu_ref, gwr_ref):
+    """Row-side grads of BOTH terms from one E slab: for W = g wr wc^T E and
+    Wc = g_corr iK E (g_corr pre-scattered to zero on off-diagonal pairs, so
+    the corr contribution vanishes exactly where it does not apply)."""
     e = _e_slab(a_ref, c_ref, u_ref, xj_ref)
     g = g_ref[0, 0, 0]
     ewc = e * wc_ref[0].reshape(1, -1)  # (tn, N)
-    we = (g * wr_ref[0]) * ewc
+    we = (g * wr_ref[0]) * ewc + gco_ref[0, 0, 0] * ik_ref[0] * e
     ga_ref[0] = jnp.sum(we, axis=1, keepdims=True)
     gu_ref[0] = jax.lax.dot_general(
         we, xj_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -167,70 +189,46 @@ def _bwd_row_kernel(a_ref, c_ref, u_ref, xj_ref, wr_ref, wc_ref, g_ref, ga_ref, 
     gwr_ref[0] = g * jnp.sum(ewc, axis=1, keepdims=True)
 
 
-def _bwd_row_corr_kernel(a_ref, c_ref, u_ref, xj_ref, ik_ref, g_ref, ga_ref, gu_ref):
-    e = _e_slab(a_ref, c_ref, u_ref, xj_ref)
-    we = g_ref[0, 0, 0] * ik_ref[0] * e
-    ga_ref[0] = jnp.sum(we, axis=1, keepdims=True)
-    gu_ref[0] = jax.lax.dot_general(
-        we, xj_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
-
-
 def _gik_kernel(a_ref, c_ref, u_ref, xj_ref, g_ref, out_ref):
     out_ref[0] = g_ref[0, 0, 0] * _e_slab(a_ref, c_ref, u_ref, xj_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("tn",))
-def _bwd_row_call(g, a, c, u, xj, wr, wc, tn: int):
-    """(ga (B,N,1), gU (B,N,ns), g_wr (B,N,1)) — row-side grads."""
-    b, n, ns = u.shape
-    row_vec, col_vec, row_mat, col_mat, scalar, _ = _specs(tn, n, ns)
+@functools.partial(jax.jit, static_argnames=("tn", "diag_pos"))
+def _bwd_row_call(g, a, c, u, xj, wr, wc, ik, gco, tn: int, diag_pos: Tuple[int, ...]):
+    """(ga (B,N,1), gU (B,N,ns), g_wr (B,N,1)) — fused row-side grads of the
+    S_p AND corr terms (one E slab). Also used for the col-side pass with
+    tile roles swapped: iK is symmetric, so the row slab of iK^T equals the
+    row slab of iK (in the rectangular sharded case the col-side pass gets
+    the TRANSPOSED local iK shard instead — see the shard-mapped core)."""
+    b, nr, ns = u.shape
+    nc = xj.shape[1]
+    row_vec, col_vec, row_mat, col_mat, scalar, _ = _specs(tn, nc, ns)
+    slot = _ik_slot(diag_pos)
+    ik_spec = pl.BlockSpec((1, tn, nc), lambda bb, i: (slot(bb), i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bwd_row_kernel,
-        grid=(b, n // tn),
-        in_specs=[row_vec, col_vec, row_mat, col_mat, row_vec, col_vec, scalar],
+        grid=(b, nr // tn),
+        in_specs=[row_vec, col_vec, row_mat, col_mat, row_vec, col_vec, scalar, ik_spec, scalar],
         out_specs=[row_vec, row_mat, row_vec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, ns), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, nr, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, nr, ns), jnp.float32),
+            jax.ShapeDtypeStruct((b, nr, 1), jnp.float32),
         ],
-    )(a, c, u, xj, wr, wc, g)
-
-
-@functools.partial(jax.jit, static_argnames=("tn",))
-def _bwd_row_corr_call(g, a, c, u, xj, ik, tn: int):
-    """(ga_d (M,N,1), gU_d (M,N,ns)) — row-side grads of the corr term.
-
-    Also used for the col-side pass with tile roles swapped: iK is symmetric,
-    so the row slab of iK^T equals the row slab of iK.
-    """
-    b, n, ns = u.shape
-    row_vec, col_vec, row_mat, col_mat, scalar, _ = _specs(tn, n, ns)
-    ik_spec = pl.BlockSpec((1, tn, n), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _bwd_row_corr_kernel,
-        grid=(b, n // tn),
-        in_specs=[row_vec, col_vec, row_mat, col_mat, ik_spec, scalar],
-        out_specs=[row_vec, row_mat],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, ns), jnp.float32),
-        ],
-    )(a, c, u, xj, ik, g)
+    )(a, c, u, xj, wr, wc, g, ik, gco)
 
 
 @functools.partial(jax.jit, static_argnames=("tn",))
 def _gik_call(g, a, c, u, xj, tn: int):
-    b, n, ns = u.shape
-    row_vec, col_vec, row_mat, col_mat, scalar, _ = _specs(tn, n, ns)
+    b, nr, ns = u.shape
+    nc = xj.shape[1]
+    row_vec, col_vec, row_mat, col_mat, scalar, _ = _specs(tn, nc, ns)
     return pl.pallas_call(
         _gik_kernel,
-        grid=(b, n // tn),
+        grid=(b, nr // tn),
         in_specs=[row_vec, col_vec, row_mat, col_mat, scalar],
-        out_specs=pl.BlockSpec((1, tn, n), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+        out_specs=pl.BlockSpec((1, tn, nc), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nr, nc), jnp.float32),
     )(a, c, u, xj, g)
 
 
@@ -240,8 +238,9 @@ def _gik_call(g, a, c, u, xj, tn: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_cov_core(diag_pos: Tuple[int, ...], n: int):
-    tn = _tile(n)
+def _make_cov_core(diag_pos: Tuple[int, ...], nr: int, nc: int):
+    tn_r = _tile(nr)
+    tn_c = _tile(nc)
     diag = np.asarray(diag_pos)
 
     def _col(v):  # (B, N) -> (B, N, 1)
@@ -252,9 +251,8 @@ def _make_cov_core(diag_pos: Tuple[int, ...], n: int):
 
     @jax.custom_vjp
     def cov_core(a, c, u, xj, bi, bj, ik):
-        s_p = _sp_call(_col(a), _col(c), u, xj, _col(bi), _col(bj), tn=tn)
-        corr = _corr_call(_col(a[diag]), _col(c[diag]), u[diag], xj[diag], ik, tn=tn)
-        return s_p, corr
+        return _cov_fwd_call(_col(a), _col(c), u, xj, _col(bi), _col(bj), ik,
+                             tn=tn_r, diag_pos=diag_pos)
 
     def fwd(a, c, u, xj, bi, bj, ik):
         return cov_core(a, c, u, xj, bi, bj, ik), (a, c, u, xj, bi, bj, ik)
@@ -263,32 +261,33 @@ def _make_cov_core(diag_pos: Tuple[int, ...], n: int):
         a, c, u, xj, bi, bj, ik = res
         g_s, g_corr = cts
 
-        # S_p term: row side, then col side with tile roles swapped
-        ga, gu, gbi = _bwd_row_call(_scal(g_s), _col(a), _col(c), u, xj, _col(bi), _col(bj), tn=tn)
-        gc, gxj, gbj = _bwd_row_call(_scal(g_s), _col(c), _col(a), xj, u, _col(bj), _col(bi), tn=tn)
+        # corr cotangent scattered to the full pair axis (zero off-diagonal)
+        # so ONE fused row pass per side covers both terms' grads
+        g_co = jnp.zeros((a.shape[0],), jnp.float32).at[jnp.asarray(diag)].set(g_corr)
 
-        # corr term (diag pairs only); iK symmetric -> same slabs both sides
-        a_d, c_d, u_d, xj_d = _col(a[diag]), _col(c[diag]), u[diag], xj[diag]
-        g_c = _scal(g_corr)
-        ga_d, gu_d = _bwd_row_corr_call(g_c, a_d, c_d, u_d, xj_d, ik, tn=tn)
-        gc_d, gxj_d = _bwd_row_corr_call(g_c, c_d, a_d, xj_d, u_d, ik, tn=tn)
-
-        diag_idx = jnp.asarray(diag)
-        ga = ga[..., 0].at[diag_idx].add(ga_d[..., 0])
-        gc = gc[..., 0].at[diag_idx].add(gc_d[..., 0])
-        gu = gu.at[diag_idx].add(gu_d)
-        gxj = gxj.at[diag_idx].add(gxj_d)
+        # row side, then col side with tile roles swapped. Square slabs reuse
+        # iK by symmetry; rectangular ones (N-sharded local shards) need the
+        # explicit transpose — ik[R_d, :]^T == ik[:, R_d] by global symmetry.
+        ik_col = ik if nr == nc else jnp.swapaxes(ik, 1, 2)
+        ga, gu, gbi = _bwd_row_call(_scal(g_s), _col(a), _col(c), u, xj, _col(bi), _col(bj),
+                                    ik, _scal(g_co), tn=tn_r, diag_pos=diag_pos)
+        gc, gxj, gbj = _bwd_row_call(_scal(g_s), _col(c), _col(a), xj, u, _col(bj), _col(bi),
+                                     ik_col, _scal(g_co), tn=tn_c, diag_pos=diag_pos)
 
         # grad wrt iK: separate call -> dead-code-eliminated when the
         # cotangent is not consumed (the planner's cache is constant).
-        gik = _gik_call(g_c, a_d, c_d, u_d, xj_d, tn=tn)
+        a_d, c_d, u_d, xj_d = _col(a[diag]), _col(c[diag]), u[diag], xj[diag]
+        gik = _gik_call(_scal(g_corr), a_d, c_d, u_d, xj_d, tn=tn_r)
 
-        return ga, gc, gu, gxj, gbi[..., 0], gbj[..., 0], gik
+        return ga[..., 0], gc[..., 0], gu, gxj, gbi[..., 0], gbj[..., 0], gik
 
     cov_core.defvjp(fwd, bwd)
     return cov_core
 
 
 def cov_core_pallas(a, c, u, xj, bi, bj, ik, diag_pos: Tuple[int, ...]):
-    """Fused (S_p, corr) with custom VJP. See module docstring for shapes."""
-    return _make_cov_core(tuple(diag_pos), a.shape[1])(a, c, u, xj, bi, bj, ik)
+    """Fused (S_p, corr) with custom VJP. See module docstring for shapes.
+
+    Row/column extents may differ (a (P, nr) vs c (P, nc)) — the N-sharded
+    multi-chip path calls this on each device's local row shard."""
+    return _make_cov_core(tuple(diag_pos), a.shape[1], c.shape[1])(a, c, u, xj, bi, bj, ik)

@@ -120,17 +120,73 @@ def shard_cache_n(cache: FactorizationCache, mesh: Mesh, axis: str = "n") -> Fac
     )
 
 
-def build_nsharded_plan_fn(spec: PlanSpec, mesh: Mesh, axis: str = "n"):
+def make_shardmapped_cov_core(mesh: Mesh, axis: str = "n", use_pallas: bool | None = None,
+                              min_pallas_rows: int = 128):
+    """Shard-mapped moment-matching cov core: each device contracts its own
+    row shard of the (P, N, N) pairwise kernel matrix — with the FUSED
+    Pallas kernels (ops/pallas_moment_cov.py) when on TPU — and the S_p /
+    corr partials are psum'ed over ICI. This is what lets the N-sharded
+    multi-chip planner keep the single-chip fast path (VERDICT r2 item 4)
+    instead of falling back to XLA-only via disable_pallas.
+
+    Sharding layout (row axis = stored-point axis n):
+      a, u, bi row-sharded; c, xj, bj replicated; iK row-sharded on its
+      first N axis. Gradients flow through jax.shard_map's transpose rules:
+      cotangents of replicated operands are psum'ed automatically.
+    """
+    from ..ops import cov_core_xla
+    from ..ops.pallas_moment_cov import cov_core_pallas, supported
+
+    def core(a, c, u, xj, bi, bj, ik, diag_pos):
+        diag = tuple(int(v) for v in diag_pos)
+        n = a.shape[1]
+        n_loc = n // mesh.shape[axis]
+        pallas = use_pallas
+        if pallas is None:
+            pallas = (
+                a.dtype == jnp.float32
+                and jax.default_backend() not in ("cpu",)
+                and supported(n_loc)
+                and n_loc >= min_pallas_rows
+            )
+
+        def local(a_, c_, u_, xj_, bi_, bj_, ik_):
+            if pallas:
+                s_p, corr = cov_core_pallas(a_, c_, u_, xj_, bi_, bj_, ik_, diag)
+            else:
+                s_p, corr = cov_core_xla(a_, c_, u_, xj_, bi_, bj_, ik_, diag)
+            return jax.lax.psum(s_p, axis), jax.lax.psum(corr, axis)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, None), P(None, axis, None), P(None, None, None),
+                      P(None, axis), P(None, None), P(None, axis, None)),
+            out_specs=(P(), P()),
+            # pallas_call emits no varying-across-mesh annotations; the
+            # explicit psums above establish replication of the outputs
+            check_vma=False,
+        )(a, c, u, xj, bi, bj, ik)
+
+    return core
+
+
+def build_nsharded_plan_fn(spec: PlanSpec, mesh: Mesh, axis: str = "n",
+                           cov_use_pallas: bool | None = None):
     """Planning step with the MEMORY axis (stored GP points) sharded.
 
     Same signature/result as controllers/planner.build_plan_fn. The
     factorization's Cholesky stays gathered (it does not partition), but
     everything downstream — the (P, N, N) pairwise kernel matrix, the
     lb/M/V/S contractions, beta matvecs — runs on N/n_devices-sized shards
-    with psum reductions riding ICI. Pallas dispatch is disabled at trace
-    time (a pallas_call is not GSPMD-partitioned); the XLA cov core is used.
+    with psum reductions riding ICI. The cov core runs shard-mapped (see
+    make_shardmapped_cov_core) so the fused Pallas kernels survive
+    multi-chip; the remaining Pallas dispatch (gram, df) is disabled at
+    trace time and GSPMD partitions the XLA fallbacks.
     """
-    from ..ops import disable_pallas
+    from ..ops import disable_pallas, override_cov_core
+
+    cov_override = make_shardmapped_cov_core(mesh, axis, use_pallas=cov_use_pallas)
 
     def plan(x_pad, y_pad, mask, params: GPParams, bounds: GPBounds, state_mu, state_var, inits, action_prev, iter_ctrl):
         cache = masked_cholesky_factorize(params, bounds, x_pad, y_pad, mask)
@@ -140,7 +196,8 @@ def build_nsharded_plan_fn(spec: PlanSpec, mesh: Mesh, axis: str = "n"):
     jitted = jax.jit(plan)
 
     def call(*args):
-        with disable_pallas():  # dispatch decisions happen at trace time
+        # dispatch decisions happen at trace time
+        with disable_pallas(), override_cov_core(cov_override):
             return jitted(*args)
 
     return call

@@ -137,6 +137,9 @@ class EpisodeSpec(NamedTuple):
     # 0.5-constants so the fused path can be compared step-for-step against
     # the host controller (tests/test_cross_path.py)
     deterministic_inits: bool = False
+    # parallel random-restart re-inits per MLL training call (the host
+    # controller reads config.training.restarts_train the same way)
+    restarts_train: int = 1
     # mixed precision: factorize + train in f64, roll out in double-float32
     # (models/gp.split_cache_df) — the TPU path for training-sharpened GPs
     # where plain f32 breaks (PERFORMANCE.md precision boundary). Requires
@@ -235,6 +238,7 @@ def episode_spec_from_config(
         include_time_model=bool(config.model.include_time_model),
         dtype=dtype,
         deterministic_inits=bool(deterministic_inits),
+        restarts_train=max(1, int(tc.restarts_train)),
         mixed_df32=bool(mixed_df32),
     )
     if mixed_df32:
@@ -317,7 +321,7 @@ def build_episode_fn(spec: EpisodeSpec):
         return actions_mpc, info
 
     def step(carry, t):
-        (env_state, obs, mem, params, action_raw_cached, action_model_prev, prev_mpc, have_prev, pred_state, pred_std, key) = carry
+        (env_state, obs, mem, params, action_raw_cached, action_model_prev, prev_mpc, have_prev, pred_state, pred_std, key, train_base) = carry
         key, k_plan, k_env, k_rand = jax.random.split(key, 4)
 
         planning = (t % spec.num_repeat_actions) == 0
@@ -357,6 +361,9 @@ def build_episode_fn(spec: EpisodeSpec):
         cost_now = -reward_now
 
         env_state2, obs_new, env_reward = env.step_fn(env_state, a_raw, k_env)
+        # under mixed df32 (jax_enable_x64 on, control dtype f32) the env
+        # dynamics run in f64 — cast the observation back to the carry dtype
+        obs_new = jnp.asarray(obs_new, dtype)
 
         # memory add with storage filter (gp_memory.py:31-64)
         s_next = norm_obs(obs_new)
@@ -370,10 +377,15 @@ def build_episode_fn(spec: EpisodeSpec):
             store = jnp.asarray(True)
         mem = memory_add(mem, x_row, s_next, store)
 
-        # periodic synchronous training ((t+1) % frequency == 0)
+        # periodic synchronous training ((t+1) % frequency == 0); the key
+        # protocol fold_in(train_base, t + 1) is SHARED with the host
+        # controller (controllers/controller.py start_training_process,
+        # which folds in iter_ctrl == t + 1) so both paths train with
+        # identical randomness given the same seed (cross-path tests)
         def do_train(p):
             mem3 = memory_prepare(mem, spec.num_repeat_actions, ns)
             mask = memory_active_mask(mem3)
+            k_train = jax.random.fold_in(train_base, t + 1)
             if spec.mixed_df32:
                 # MLL conditioning needs f64 once noise sharpens; raw params
                 # are logit-space and cast back losslessly for control purposes
@@ -382,11 +394,12 @@ def build_episode_fn(spec: EpisodeSpec):
                 new_p, _ = train_hyperparams(
                     p64, b64,
                     mem3.model_inputs.astype(jnp.float64), mem3.model_targets.astype(jnp.float64),
-                    mask, jax.random.fold_in(key, 7), spec.train_cfg,
+                    mask, k_train, spec.train_cfg, restarts=spec.restarts_train,
                 )
                 return jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), new_p)
             new_p, _ = train_hyperparams(
-                p, spec.bounds, mem3.model_inputs, mem3.model_targets, mask, jax.random.fold_in(key, 7), spec.train_cfg
+                p, spec.bounds, mem3.model_inputs, mem3.model_targets, mask, k_train,
+                spec.train_cfg, restarts=spec.restarts_train,
             )
             return new_p
 
@@ -400,10 +413,12 @@ def build_episode_fn(spec: EpisodeSpec):
             "pred_state": pred_state2,
             "pred_std": pred_std2,
         }
-        carry = (env_state2, obs_new, mem, params, a_raw, a_model0, prev_mpc2, have_prev2, pred_state2, pred_std2, key)
+        carry = (env_state2, obs_new, mem, params, a_raw, a_model0, prev_mpc2, have_prev2, pred_state2, pred_std2, key, train_base)
         return carry, out
 
     def episode(key, params0: GPParams):
+        from ..controllers.controller import TRAIN_KEY_TAG
+
         k_init, k_scan, k_prev = jax.random.split(key, 3)
         env_state, obs = env.init_fn(k_init)
         mem = memory_init(spec.cap, d, ns, dtype)
@@ -419,6 +434,9 @@ def build_episode_fn(spec: EpisodeSpec):
             jnp.zeros((ns,), dtype),
             jnp.zeros((ns,), dtype),
             k_scan,
+            # training-key base: same derivation as the host controller's
+            # _train_key so fold_in(base, t + 1) matches across paths
+            jax.random.fold_in(key, TRAIN_KEY_TAG),
         )
         carry, outs = lax.scan(step, carry, jnp.arange(spec.num_steps, dtype=jnp.int32))
         outs["final_params"] = carry[3]

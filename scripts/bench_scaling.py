@@ -52,7 +52,9 @@ def bench_point(n_points: int, nh: int, iters: int):
         clip_lower_bound_cost_to_0=False,
     )
     action_spec = ActionMapperSpec(False, jnp.asarray([0.3], dtype=dtype), nh, na)
-    spec = PlanSpec(reward_spec, action_spec, False, nh, na, ns, 4, 4, 4)
+    # full reference pendulum optimizer budget incl. maxfun
+    # (examples/pendulum/config_pendulum.py)
+    spec = PlanSpec(reward_spec, action_spec, False, nh, na, ns, 4, 4, 4, maxfun=4)
     bounds = GPBounds(
         jnp.full((ns, d), 4e-3, dtype=dtype), jnp.full((ns, d), 10.0, dtype=dtype),
         jnp.full((ns,), 1e-2, dtype=dtype), jnp.full((ns,), 0.95, dtype=dtype),

@@ -304,3 +304,47 @@ def test_rollout_df_matches_f64():
     )()
     assert float(jnp.max(jnp.abs(musdf - mus64.astype(f32)))) < 5e-4
     assert float(jnp.max(jnp.abs(varsdf - vars64.astype(f32)))) < 5e-3
+
+
+@pytest.mark.slow
+def test_full_episode_df32_matches_f64_curve():
+    """VERDICT r2 item 5 (second half): full-episode curve equivalence.
+
+    The SAME pendulum online-learning episode — warmup, MPC planning, the
+    storage filter, and two MLL training hot-swaps — run (a) all-f64 and
+    (b) mixed df32 (f64 master factorization + double-float32 rollout, the
+    TPU production path). Tolerance rationale: per-step moments agree to
+    ~5e-4 (test_rollout_df_matches_f64); the L-BFGS argmin amplifies that
+    through the optimizer landscape, and the closed loop re-contracts
+    toward the target, so the curves track loosely stepwise but must agree
+    tightly in achieved control quality (final-quarter mean cost).
+    """
+    from gpmpc_tpu.envs.jax_dynamics import pendulum_spec
+    from gpmpc_tpu.runner.jit_episode import build_episode_fn, episode_spec_from_config
+    from tests.test_controller_integration import small_pendulum_config
+
+    steps = 36
+    curves = {}
+    for mode in ("f64", "df32"):
+        cfg = small_pendulum_config()
+        cfg.dtype = "float64" if mode == "f64" else "float32"
+        cfg.training.training_frequency = 12
+        cfg.training.iter_train = 2
+        env = pendulum_spec()
+        spec, params0 = episode_spec_from_config(
+            env, cfg, num_steps=steps, warmup=8, cap=64,
+            deterministic_inits=True, mixed_df32=(mode == "df32"),
+        )
+        out = build_episode_fn(spec)(jax.random.PRNGKey(3), params0)
+        curves[mode] = np.asarray(out["cost"], np.float64)
+
+    diff = np.abs(curves["df32"] - curves["f64"])
+    # identical warmup (deterministic 0.5-constant actions, env integrated
+    # in f64 vs f32): the curves must START indistinguishable...
+    assert diff[:8].max() < 1e-3, diff[:8]
+    # ...stay loosely coupled stepwise through planning + training swaps...
+    assert float(diff.mean()) < 0.05, (float(diff.mean()), diff)
+    # ...and deliver the same control quality at the end
+    tail = steps - steps // 4
+    assert abs(curves["df32"][tail:].mean() - curves["f64"][tail:].mean()) < 0.02, (
+        curves["df32"][tail:].mean(), curves["f64"][tail:].mean())

@@ -110,3 +110,52 @@ def test_nsharded_rollout_equals_replicated_large_n():
     np.testing.assert_allclose(float(cost_sh), float(cost_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(info_sh.states_mu_pred), np.asarray(info_ref.states_mu_pred), atol=1e-7)
     np.testing.assert_allclose(np.asarray(info_sh.states_var_pred), np.asarray(info_ref.states_var_pred), atol=1e-7)
+
+
+@requires_8
+def test_shardmapped_cov_core_pallas_interpret():
+    """VERDICT r2 item 4: the fused Pallas cov kernels survive multi-chip —
+    shard_map runs them on each device's local row shard (interpret mode on
+    the 8-CPU mesh) and psums the partials; values AND gradients must match
+    the replicated XLA core."""
+    import functools
+    from unittest import mock
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from gpmpc_tpu.ops import cov_core_xla
+    from gpmpc_tpu.ops import pallas_moment_cov as pmc
+    from gpmpc_tpu.parallel.sharding import make_mesh, make_shardmapped_cov_core
+
+    pmc._make_cov_core.cache_clear()
+    f32 = jnp.float32
+    p_, ns_, n = 3, 2, 256
+    diag = (0, 2)
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.normal(-1, 0.3, (p_, n)), f32)
+    c = jnp.asarray(rng.normal(-1, 0.3, (p_, n)), f32)
+    u = jnp.asarray(rng.normal(0, 0.2, (p_, n, ns_)), f32)
+    xj = jnp.asarray(rng.normal(0, 0.2, (p_, n, ns_)), f32)
+    bi = jnp.asarray(rng.normal(0, 1.0, (p_, n)), f32)
+    bj = jnp.asarray(rng.normal(0, 1.0, (p_, n)), f32)
+    ik = jnp.asarray(rng.normal(0, 0.5, (ns_, n, n)), f32)
+    ik = (ik + jnp.swapaxes(ik, 1, 2)) / 2  # symmetric, like the real iK
+
+    def loss(core, *t):
+        s_p, corr = core(*t, ik, diag)
+        return jnp.sum(s_p * s_p) + jnp.sum(corr)
+
+    ref = loss(cov_core_xla, a, c, u, xj, bi, bj)
+    g_ref = jax.grad(lambda *t: loss(cov_core_xla, *t), argnums=(0, 1, 2, 3, 4, 5))(a, c, u, xj, bi, bj)
+
+    mesh = make_mesh(8, axis="n")
+    core = make_shardmapped_cov_core(mesh, axis="n", use_pallas=True)
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig, interpret=True)):
+        got = loss(core, a, c, u, xj, bi, bj)
+        g_got = jax.grad(lambda *t: loss(core, *t), argnums=(0, 1, 2, 3, 4, 5))(a, c, u, xj, bi, bj)
+
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+    for gg, gr in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr), rtol=2e-4, atol=2e-5)
