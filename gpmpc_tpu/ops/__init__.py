@@ -67,10 +67,13 @@ def gram(lengthscales, outputscales, x, use_pallas: bool | None = None):
 
 
 # Below this memory size the XLA-fused cov core wins (Pallas launch overhead
-# exceeds the HBM savings — measured 19/s XLA vs 13/s Pallas at N=768);
-# above it the fused kernels avoid materializing the (P, N, N) pairwise
-# kernel matrix and win (measured +18% at N=1536).
-PALLAS_COV_MIN_N = 1024
+# exceeds the HBM savings); above it the fused kernels avoid materializing
+# the (P, N, N) pairwise kernel matrix and win. Re-measured after the
+# S_p+corr kernel fusion (fwd 2->1, bwd 4->2 launches per step) — see
+# PERFORMANCE.md scaling table. Env-overridable for A/B benchmarking.
+import os as _os
+
+PALLAS_COV_MIN_N = int(_os.environ.get("GPMPC_PALLAS_COV_MIN_N", "1024"))
 
 
 def cov_core_xla(a, c, u, xj, bi, bj, ik, diag_pos):

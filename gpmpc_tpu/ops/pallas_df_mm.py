@@ -77,6 +77,7 @@ def supported(n: int, ns: int, d: int) -> bool:
     return 32 <= n <= 512 and ns <= 3 and d <= 8
 
 
+@jax.custom_jvp
 def _reduce_last(h, l):
     """Compensated sum along the LAST axis via contiguous halving.
 
@@ -84,6 +85,15 @@ def _reduce_last(h, l):
     pattern Mosaic lowers unconditionally; the pairing is still a binary
     tree, so the error bound matches df32.df_sum. Requires pow2 sizes —
     non-pow2 operands are zero-padded before entering the kernel.
+
+    Custom derivative (same rationale as df32.df_mul): the df pair is ONE
+    number whose true derivative w.r.t. every input term is exactly 1, so
+    the tangent is a plain f32 sum. This is also what makes the BACKWARD
+    kernels compile at N > 128: autodiff through the halving tree would
+    transpose each half-slice into a pad -> 1-D tpu.concatenate across the
+    128-lane tile boundary, which Mosaic rejects ("Input offsets outside of
+    the first tile"); the transpose of jnp.sum is a broadcast, which it
+    lowers unconditionally.
     """
     n = h.shape[-1]
     assert (n & (n - 1)) == 0, n
@@ -94,8 +104,21 @@ def _reduce_last(h, l):
     return h[..., 0], l[..., 0]
 
 
+@_reduce_last.defjvp
+def _reduce_last_jvp(primals, tangents):
+    h, l = primals
+    dh, dl = tangents
+    out = _reduce_last(h, l)
+    dv = jnp.sum(dh + dl, axis=-1)
+    return out, (dv, jnp.zeros_like(dv))
+
+
+@jax.custom_jvp
 def _reduce_2d(h, l):
-    """(N, N) df -> scalar df: halve rows (sublanes), then lanes."""
+    """(N, N) df -> scalar df: halve rows (sublanes), then lanes.
+
+    Same custom plain-sum derivative as _reduce_last (and for the same
+    Mosaic transpose reason)."""
     n = h.shape[0]
     assert (n & (n - 1)) == 0, n
     while n > 1:
@@ -103,6 +126,15 @@ def _reduce_2d(h, l):
         h, l = df_add(h[:half], l[:half], h[half:n], l[half:n])
         n = half
     return _reduce_last(h[0], l[0])
+
+
+@_reduce_2d.defjvp
+def _reduce_2d_jvp(primals, tangents):
+    h, l = primals
+    dh, dl = tangents
+    out = _reduce_2d(h, l)
+    dv = jnp.sum(dh + dl)
+    return out, (dv, jnp.zeros_like(dv))
 
 
 def _sum_last(v):
