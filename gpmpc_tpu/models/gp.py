@@ -699,26 +699,18 @@ def moment_match_df(
     U_h, U_l = 2.0 * XQ_h, 2.0 * XQ_l  # exact doubling
 
     # ---- the (P, N, N) pipeline ------------------------------------------
-    # expo[p,n,k] = a[p,n] + c[p,k] + sum_e U[p,n,e] Xj[p,k,e]
-    ch_b = c_h[:, None, :]
-    cl_b = c_l[:, None, :]
-    eh, el = df_add(a_h[:, :, None], a_l[:, :, None], ch_b, cl_b)  # (P, N, N)
-    for e_idx in range(ns):
-        ph, pl = df_mul(
-            U_h[:, :, None, e_idx], U_l[:, :, None, e_idx],
-            Xj_ph[:, None, :, e_idx], Xj_pl[:, None, :, e_idx],
-        )
-        eh, el = df_add(eh, el, ph, pl)
-    E_h, E_l = df_exp(jnp.minimum(eh, 60.0), el)
+    # expo[p,n,k] = a[p,n] + c[p,k] + sum_e U[p,n,e] Xj[p,k,e];
+    # S_p = sum b_i E b_j, corr_m = sum iK_m E[diag_m]. Dispatched
+    # (ops.df_cov_core): row-tiled Pallas kernels on TPU at N >= 192
+    # (ops/pallas_df_cov.py — VMEM-tiled E, bounded Mosaic compile), the
+    # XLA form otherwise (ops.df_cov_core_xla, the correctness oracle).
+    from ..ops import df_cov_core
 
-    # S_p = sum_{n,k} b_i[n] E[n,k] b_j[k]
-    th, tl = df_mul(E_h, E_l, cache.beta_hi[ii][:, :, None], cache.beta_lo[ii][:, :, None])
-    th, tl = df_mul(th, tl, cache.beta_hi[jj][:, None, :], cache.beta_lo[jj][:, None, :])
-    Sp_h, Sp_l = df_sum(th.reshape(p, -1), tl.reshape(p, -1), axis=-1)
-
-    # corr_m = sum(iK_m * E[diag_m])
-    dh, dl = df_mul(E_h[diag_pos], E_l[diag_pos], cache.iK_hi, cache.iK_lo)
-    corr_h, corr_l = df_sum(dh.reshape(ns, -1), dl.reshape(ns, -1), axis=-1)
+    Sp_h, Sp_l, corr_h, corr_l = df_cov_core(
+        a_h, a_l, c_h, c_l, U_h, U_l, Xj_ph, Xj_pl,
+        cache.beta_hi[ii], cache.beta_lo[ii], cache.beta_hi[jj], cache.beta_lo[jj],
+        cache.iK_hi, cache.iK_lo, diag_pos,
+    )
 
     # S_p(diag) and corr are each ~1e3..1e4 at cond(K) ~ 1e6 and cancel to
     # ~1e-2: subtract IN df, collapse to f32 only after the cancellation

@@ -130,7 +130,74 @@ def use_df_pallas(n: int, ns: int, d: int) -> bool:
     )
 
 
+def df_cov_core_xla(ah, al, ch, cl, uh, ul, xjh, xjl, bih, bil, bjh, bjl,
+                    ikh, ikl, diag_pos):
+    """(S_p, corr) of the df32 moment-matching covariance pipeline in XLA.
+
+    The (P, N, N) twin of cov_core_xla carried in compensated f32: the
+    exponent accumulation, exp, beta/iK products, and reductions all run as
+    (hi, lo) pairs (the cancellations drown plain f32 once MLL training
+    sharpens the GP — PERFORMANCE.md precision boundary). Materializes the
+    df E slab in HBM; the row-tiled Pallas twin (ops/pallas_df_cov.py)
+    computes it tile-by-tile in VMEM.
+    """
+    import numpy as np
+
+    from .df32 import df_add, df_exp, df_mul, df_sum
+
+    p, n = ah.shape
+    ns = uh.shape[-1]
+    eh, el = df_add(ah[:, :, None], al[:, :, None], ch[:, None, :], cl[:, None, :])
+    for e_idx in range(ns):
+        ph, pl = df_mul(
+            uh[:, :, None, e_idx], ul[:, :, None, e_idx],
+            xjh[:, None, :, e_idx], xjl[:, None, :, e_idx],
+        )
+        eh, el = df_add(eh, el, ph, pl)
+    E_h, E_l = df_exp(jnp.minimum(eh, 60.0), el)
+
+    th, tl = df_mul(E_h, E_l, bih[:, :, None], bil[:, :, None])
+    th, tl = df_mul(th, tl, bjh[:, None, :], bjl[:, None, :])
+    Sp_h, Sp_l = df_sum(th.reshape(p, -1), tl.reshape(p, -1), axis=-1)
+
+    dpos = np.asarray(diag_pos)
+    dh, dl = df_mul(E_h[dpos], E_l[dpos], ikh, ikl)
+    corr_h, corr_l = df_sum(dh.reshape(ns, -1), dl.reshape(ns, -1), axis=-1)
+    return Sp_h, Sp_l, corr_h, corr_l
+
+
+def df_cov_core(ah, al, ch, cl, uh, ul, xjh, xjl, bih, bil, bjh, bjl,
+                ikh, ikl, diag_pos, use_pallas: bool | None = None):
+    """Dispatch the df32 covariance core (models/gp.moment_match_df).
+
+    The row-tiled Pallas kernels take over on TPU from N >= 192 (the
+    shapes where the whole-step kernel of pallas_df_mm.py stops being
+    compilable — its Mosaic compile time scales as N^2); below that the
+    XLA form wins (launch overhead) and the whole-step kernel covers the
+    fused path anyway."""
+    if use_pallas is None:
+        from .pallas_df_cov import supported
+
+        n = ah.shape[1]
+        n_pad = ((n + 127) // 128) * 128
+        use_pallas = (
+            ah.dtype == jnp.float32
+            and jax.default_backend() not in ("cpu",)
+            and n > 128
+            and supported(n_pad, uh.shape[-1])
+            and not _PALLAS_DISABLED
+        )
+    if use_pallas:
+        from .pallas_df_cov import df_cov_core_pallas
+
+        return df_cov_core_pallas(ah, al, ch, cl, uh, ul, xjh, xjl,
+                                  bih, bil, bjh, bjl, ikh, ikl, tuple(diag_pos))
+    return df_cov_core_xla(ah, al, ch, cl, uh, ul, xjh, xjl,
+                           bih, bil, bjh, bjl, ikh, ikl, diag_pos)
+
+
 __all__ = [
-    "cov_core", "cov_core_xla", "disable_pallas", "gram",
-    "override_cov_core", "use_df_pallas", "PALLAS_COV_MIN_N",
+    "cov_core", "cov_core_xla", "df_cov_core", "df_cov_core_xla",
+    "disable_pallas", "gram", "override_cov_core", "use_df_pallas",
+    "PALLAS_COV_MIN_N",
 ]

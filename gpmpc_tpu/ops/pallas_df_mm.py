@@ -63,18 +63,22 @@ _OUT_PAD = (8, 128)
 
 
 def supported(n: int, ns: int, d: int) -> bool:
-    # df iK is 2 * Ns * N * N * 4 bytes; N = 512, Ns = 3 -> 6.3 MB, inside
-    # the VMEM budget together with one pair's (N, N) E slabs. Below 128
-    # the (N,) vectors are sub-lane-width; Mosaic pads them — still a net
-    # win over O(100) XLA launches (the early-episode buckets 32/64 are
-    # where the online-learning demo spends most of its steps). Non-pow2 N
-    # (the 3*2^k buckets 192/384 of memory/buffer.py — incl. the flagship
-    # N=300 workload's 384) is zero-padded OUTSIDE the kernel to the next
-    # power of two (see _pad_cache_pow2), so the kernel itself always runs
-    # at pow2 shapes — Mosaic's 1-D vector ops mis-lower at 3*2^k lane
-    # counts (measured: "vector types must have positive constant sizes",
-    # tpu.concatenate 128+64 -> 192 internal error).
-    return 32 <= n <= 512 and ns <= 3 and d <= 8
+    # WHOLE-STEP kernel bound: N <= 128 ONLY. The body performs full-(N, N)
+    # vector ops in a single grid cell, and Mosaic fully unrolls each such
+    # op over (8, 128) vregs — the kernel's instruction count therefore
+    # scales as N^2/1024 per op, and the MOSAIC COMPILE TIME blows up
+    # super-linearly: measured 14 s at bucket 128 but > 9 min (unfinished)
+    # at bucket 256 and > 25 min (unfinished) at padded 512 on v5e
+    # (scripts/probe_kernel_compile.py). Buckets 32..128 are where the
+    # online-learning episode spends its early steps; larger buckets
+    # (incl. the flagship N=300 -> bucket 384) dispatch to the ROW-TILED
+    # kernel family instead (ops/pallas_df_cov.py via moment_match_df),
+    # whose per-cell body is bounded by the row-tile size. Non-pow2 N in
+    # range (96) zero-pads outside the kernel (see _pad_cache_pow2) —
+    # Mosaic's 1-D vector ops mis-lower at 3*2^k lane counts (measured:
+    # "vector types must have positive constant sizes", tpu.concatenate
+    # 128+64 -> 192 internal error).
+    return 32 <= n <= 128 and ns <= 3 and d <= 8
 
 
 @jax.custom_jvp

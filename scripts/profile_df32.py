@@ -85,9 +85,11 @@ def main():
         return float(np.median(ts) * 1e3)
 
     res = {"n_points": n_points, "bucket": bucket, "horizon": nh}
+    print(json.dumps(res), flush=True)
 
     mm = jax.jit(lambda m, v: moment_match_df_fused(dfc, m, v))
     res["mm_fwd_ms"] = round(timeit(mm, mu, var), 3)
+    print(json.dumps(res), flush=True)
 
     def objective(a):
         mus, vars_ = predict_trajectory(dfc, a, mu0, v0, 0, False)
@@ -95,8 +97,10 @@ def main():
 
     obj = jax.jit(objective)
     res["obj_fwd_ms"] = round(timeit(obj, actions), 3)
+    print(json.dumps(res), flush=True)
     vag = jax.jit(jax.value_and_grad(objective))
     res["obj_vag_ms"] = round(timeit(vag, actions), 3)
+    print(json.dumps(res), flush=True)
 
     from gpmpc_tpu.controllers.planner import Planner, PlanSpec
     from gpmpc_tpu.mappers.action import ActionMapperSpec

@@ -17,12 +17,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache: the suite is compile-bound (L-BFGS scan +
-# unrolled rollout + vjp programs); re-runs hit the disk cache.
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compilation cache on CPU: jaxlib 0.9.0's XLA:CPU AOT cache
+# entries are written with the prefer-no-scatter/prefer-no-gather tuning
+# pseudo-features in the target-machine list, and the loader's host-feature
+# check then REJECTS every entry (cpu_aot_loader "Target machine feature
+# +prefer-no-scatter is not supported on the host machine") at ~1.2 s of
+# logging/retry per executable load — measured turning each eager primitive
+# into ~1 s and a 30 s test into a >500 s hang. Recompiling per run is far
+# cheaper than the broken reload path. (TPU scripts keep their cache —
+# .jax_cache — where Mosaic compiles are minutes and reload works.)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
