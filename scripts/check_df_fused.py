@@ -93,6 +93,9 @@ def check(bucket):
 
 
 if __name__ == "__main__":
-    buckets = [int(a) for a in sys.argv[1:]] or [128, 192, 256, 384, 512]
+    # whole-step kernel buckets only (N <= 128: its Mosaic compile time
+    # scales as N^2 — see ops/pallas_df_mm.supported); larger buckets are
+    # covered by the row-tiled family via scripts/check_df_cov.py
+    buckets = [int(a) for a in sys.argv[1:]] or [32, 64, 96, 128]
     results = [check(b) for b in buckets]
     sys.exit(0 if all(results) else 1)

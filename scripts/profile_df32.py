@@ -87,7 +87,14 @@ def main():
     res = {"n_points": n_points, "bucket": bucket, "horizon": nh}
     print(json.dumps(res), flush=True)
 
-    mm = jax.jit(lambda m, v: moment_match_df_fused(dfc, m, v))
+    # one moment-match step through the PRODUCTION dispatch: whole-step
+    # fused kernel at buckets <= 128, XLA stage1/mean + row-tiled Pallas cov
+    # core at larger buckets (calling moment_match_df_fused directly at
+    # bucket > 128 would hit the whole-step kernel's N^2 Mosaic compile)
+    from gpmpc_tpu.ops import use_df_pallas
+
+    mm_fn = moment_match_df_fused if use_df_pallas(bucket, ns, d) else moment_match_df
+    mm = jax.jit(lambda m, v: mm_fn(dfc, m, v))
     res["mm_fwd_ms"] = round(timeit(mm, mu, var), 3)
     print(json.dumps(res), flush=True)
 
