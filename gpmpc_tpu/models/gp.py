@@ -593,6 +593,12 @@ def moment_match_df(
       * The (Ns, N, D) mean path and the (P, N, N) covariance pipeline —
         exponent accumulation, exp, beta/iK products, reductions — run in
         compensated f32 (two_prod/two_sum trees).
+
+    Kernel dispatch note: both Pallas families behind this path gate on
+    Ns <= 3 (ops/pallas_df_mm.supported, ops/pallas_df_cov.supported) —
+    environments with more than 3 state dimensions run the XLA df cov core
+    everywhere (same numerics, more kernel launches; pinned by
+    tests/test_df32.py::test_ns4_env_falls_back_to_xla_df_and_matches_oracle).
     """
     from ..ops.df32 import (
         df_add,
