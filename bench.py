@@ -2,25 +2,40 @@
 
 Pendulum-shaped problem — horizon 15, 300+ stored GP points (padded to the
 384 bucket), Ns=3, Na=1, reference pendulum optimizer budget (L-BFGS-B
-maxiter/maxcor/maxls=4, 1 restart; examples/pendulum/config_pendulum.py:80-84).
+maxiter/maxfun/maxcor/maxls=4, 1 restart; examples/pendulum/config_pendulum.py:80-84).
 One planning step = what the online controller does each control iteration:
 append the newly stored transition to the factorization (O(N^2) incremental
 Cholesky/inverse extension), then the full moment-matched rollout under
-box-L-BFGS with autodiff — one small extend call plus one fused plan call.
+box-L-BFGS with autodiff — one fused extend+plan device call.
 
-Prints TWO JSON lines (the headline LAST, so line-oriented parsers keep it):
-  {"metric": "df32_trained_gp_planning_steps_per_sec", "value": N, ...}
-  {"metric": "planning_steps_per_sec", "value": N, "unit": "steps/s",
-   "vs_baseline": N/100}
+The HEADLINE is the f32 fast path (benign conditioning, pre-training
+hyperparameters) — the r01/r02-comparable number. The trained-GP df32
+regime (f64 master + double-float32 rollout, noise floor 1e-6) is reported
+as a bounded SECONDARY subprocess: it is the numerically-hard regime and
+runs ~100x slower because every moment-match step carries compensated
+(P, N, N) arithmetic on the VPU (PERFORMANCE.md item 12 — round 3's
+925/2376 steps/s df32 records were async-dispatch artifacts, corrected
+this round with per-step-blocked evidence).
+
+Prints the headline line FIRST (VERDICT r3 item 1 — a driver timeout must
+never eat it), then supplementary metrics:
+  {"metric": "planning_steps_per_sec", ...}        <- pipelined steady state
+  {"metric": "planning_step_blocked_ms", ...}      <- per-step block_until_ready
+  {"metric": "blocked_sync_floor_ms", ...}         <- tunnel sync floor control
+  {"metric": "compile_cold_s", ...}
+  {"metric": "df32_trained_gp_planning_steps_per_sec", ...}  <- bounded secondary
 vs_baseline is relative to the BASELINE.json north-star target of 100
 planning steps/s on one v5e chip (the reference publishes no wall-clock
 numbers at all — README.md:288-292 explicitly disclaims latency).
 
-The second line measures the TRAINED-GP steady state (noise floor ~1e-6,
-cond(K) ~ 1e6 — the regime an online-learning episode enters after the
-first MLL hot-swap): f64 master factorization + double-float32 rollout
-(scripts/bench_df32.py, run as a subprocess because it needs x64 enabled
-for the master cache while the headline scenario runs pure f32).
+Pipelined vs blocked (VERDICT r3 item 2): the pipelined loop dispatches all
+iters and blocks once — device execution serializes, so it is the amortized
+device time per step; the blocked loop calls block_until_ready every step —
+the action latency an MPC controller pays before stepping the env. On this
+host the runtime adds a large per-sync floor (the blocked_sync_floor_ms
+control: the SAME loop around a 4-element sin program), so blocked numbers
+are dominated by host-runtime sync cost, not the plan program; the floor
+line makes that attribution explicit.
 """
 
 import json
@@ -31,15 +46,25 @@ import time
 
 import numpy as np
 
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _emit(metric, value, unit, vs_baseline=None, **extra):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
 
 def main():
-    # fast-math mode for the benchmark: f32 unless overridden. The f64 path
-    # is for parity; the perf story is f32 (TPU MXU native).
-    os.environ.setdefault("GPMPC_TPU_X64", "0")
+    t_start = time.perf_counter()
+    # headline fast-math mode: pure f32 (TPU-native), benign conditioning
+    os.environ["GPMPC_TPU_X64"] = "0"
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
@@ -48,8 +73,7 @@ def main():
     from gpmpc_tpu.mappers.reward import RewardSpec
     from gpmpc_tpu.models.gp import GPBounds, params_from_constrained
 
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-
+    dtype = jnp.float32
     ns, na, nh = 3, 1, 15
     n_points, bucket = 300, 384
     d = ns + na
@@ -69,12 +93,13 @@ def main():
         clip_lower_bound_cost_to_0=False,
     )
     action_spec = ActionMapperSpec(
-        limit_action_change=False, max_change_action_norm=jnp.asarray([0.3], dtype=dtype), len_horizon=nh, dim_action=na
+        limit_action_change=False, max_change_action_norm=jnp.asarray([0.3], dtype=dtype),
+        len_horizon=nh, dim_action=na,
     )
     spec = PlanSpec(
         reward=reward_spec, action=action_spec, include_time_model=False,
         len_horizon=nh, dim_action=na, dim_state=ns, maxiter=4, maxcor=4, maxls=4,
-        # match the full reference pendulum budget incl. the total-eval cap
+        # full reference pendulum budget incl. the total-eval cap
         # (examples/pendulum/config_pendulum.py: maxfun=4)
         maxfun=4,
     )
@@ -87,101 +112,114 @@ def main():
         max_noise=jnp.full((ns,), 1e-4, dtype=dtype),
     )
     params = params_from_constrained(
-        jnp.full((ns, d), 0.5, dtype=dtype), jnp.full((ns,), 5e-2, dtype=dtype), jnp.full((ns,), 1e-5, dtype=dtype), bounds
+        jnp.full((ns, d), 0.5, dtype=dtype), jnp.full((ns,), 5e-2, dtype=dtype),
+        jnp.full((ns,), 1e-5, dtype=dtype), bounds,
     )
 
     # synthetic pendulum-like memory, padded to the bucket
+    iters = 50
     x = np.zeros((bucket, d))
     y = np.zeros((bucket, ns))
     mask = np.zeros((bucket,), dtype=bool)
     x[:n_points] = rng.uniform(0, 1, (n_points, d))
     y[:n_points] = rng.normal(0, 0.02, (n_points, ns))
     mask[:n_points] = True
+    extra_x = rng.uniform(0, 1, (iters + 1, d))
+    extra_y = rng.normal(0, 0.02, (iters + 1, ns))
 
     state_mu = jnp.asarray(rng.uniform(0, 1, ns), dtype=dtype)
     state_var = jnp.eye(ns, dtype=dtype) * 1e-6
     inits = jnp.asarray(rng.uniform(0, 1, (restarts, nh * na)), dtype=dtype)
     action_prev = jnp.asarray([0.5], dtype=dtype)
 
-    # The production planning step: one new stored transition per step ->
-    # O(N^2) incremental factorization extension + the jitted cached plan
-    # (controllers/planner.py Planner). The reference refactorizes from
-    # scratch every planning step; full-refactorize steps here happen only
-    # when hyperparameters are retrained (every training_frequency steps).
     planner = Planner(spec)
-    iters = 50
-    extra_x = rng.uniform(0, 1, (iters + 1, d))
-    extra_y = rng.normal(0, 0.02, (iters + 1, ns))
 
     def step(i):
+        # the production planning step: one new stored transition -> O(N^2)
+        # incremental factorization extension fused with the jitted plan
         n = n_points + i
-        x[n] = extra_x[i]
-        y[n] = extra_y[i]
-        mask[n] = True
-        return planner.plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, i)
+        x[n], y[n], mask[n] = extra_x[i], extra_y[i], True
+        return planner.plan(x, y, mask, params, bounds, state_mu, state_var,
+                            inits, action_prev, i)
 
-    # warmup/compile both the factorize and extend+plan programs
-    out = planner.plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)
-    jax.block_until_ready(out)
+    def reset():
+        # rewind the memory tail so every timed run extends from n_points
+        # (keeps N inside the 384 bucket); forces one full refactorize
+        mask[n_points:] = False
+        planner.refresh_cache(x, y, mask, params, bounds)
+
+    # warm/compile exactly the two programs the timed loop uses: the masked
+    # factorization and the fused extend+plan
+    reset()
     out = step(0)
     jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t_start
 
-    # steady-state timing
-    t0 = time.perf_counter()
-    for i in range(1, iters + 1):
-        out = step(i)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    def run(blocked):
+        reset()
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = step(i)
+            if blocked:
+                jax.block_until_ready(out)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        a = np.asarray(out[0])
+        assert np.all(np.isfinite(a)) and a.min() >= 0 and a.max() <= 1
+        return dt
 
-    steps_per_sec = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": "planning_steps_per_sec",
-                "value": round(steps_per_sec, 2),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / 100.0, 3),
-            }
-        ),
-        flush=True,
-    )
+    # HEADLINE: f32 fast path, pipelined steady state (r01/r02-comparable)
+    dt_pipe = run(blocked=False)
+    steps_per_sec = 1.0 / dt_pipe
+    _emit("planning_steps_per_sec", round(steps_per_sec, 2), "steps/s",
+          round(steps_per_sec / 100.0, 3))
+
+    # per-step action latency (block every step) + the host-runtime sync
+    # floor control so the blocked number is attributable
+    dt_blocked = run(blocked=True)
+    _emit("planning_step_blocked_ms", round(dt_blocked * 1e3, 3), "ms",
+          round((1.0 / dt_blocked) / 100.0, 3))
+    tiny = jax.jit(lambda m: jnp.sin(m) * 2.0)
+    jax.block_until_ready(tiny(state_mu))
+    ts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(state_mu))
+        ts.append(time.perf_counter() - t0)
+    _emit("blocked_sync_floor_ms", round(float(np.median(ts)) * 1e3, 3), "ms")
+
+    _emit("compile_cold_s", round(compile_s, 1), "s")
+    return time.perf_counter() - t_start
 
 
-def df32_scenario():
+def df32_scenario(budget_s: float):
     """Trained-GP (df32) steady state at the flagship shape, via subprocess
-    (needs jax_enable_x64 for the f64 master; the headline runs pure f32)."""
-    root = os.path.dirname(os.path.abspath(__file__))
+    (needs jax_enable_x64 for the f64 master; the headline runs pure f32).
+    Hard-bounded: a compile overrun degrades to an error line, never eats
+    the round's artifact (VERDICT r3 item 1). Runs the XLA df cov core
+    (--no-pallas): the row-tiled Mosaic kernels take ~380 s to compile cold
+    on this host (PERFORMANCE.md item 12), which cannot fit the driver
+    budget; their numbers live in PERFORMANCE.md."""
     env = dict(os.environ, GPMPC_TPU_X64="1")
     try:
         out = subprocess.run(
-            [sys.executable, os.path.join(root, "scripts", "bench_df32.py"),
-             "--points", "300:15", "--iters", "30"],
-            env=env, capture_output=True, text=True, timeout=3600, cwd=root,
+            [sys.executable, os.path.join(_ROOT, "scripts", "bench_df32.py"),
+             "--points", "300:15", "--iters", "10", "--no-pallas"],
+            env=env, capture_output=True, text=True, timeout=budget_s, cwd=_ROOT,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         res = json.loads(line)
         v = res["planning_steps_per_sec"]
-        print(
-            json.dumps(
-                {
-                    "metric": "df32_trained_gp_planning_steps_per_sec",
-                    "value": v,
-                    "unit": "steps/s",
-                    "vs_baseline": round(v / 100.0, 3),
-                }
-            ),
-            flush=True,
-        )
+        _emit("df32_trained_gp_planning_steps_per_sec", v, "steps/s",
+              round(v / 100.0, 3))
+        _emit("df32_trained_gp_blocked_ms", res.get("blocked_plan_ms"), "ms")
     except Exception as e:  # never break the headline metric
-        print(json.dumps({
-            "metric": "df32_trained_gp_planning_steps_per_sec",
-            "value": None, "unit": "steps/s", "vs_baseline": None,
-            "error": str(e)[:200],
-        }), flush=True)
+        _emit("df32_trained_gp_planning_steps_per_sec", None, "steps/s",
+              error=str(e)[:200])
 
 
 if __name__ == "__main__":
-    # df32 scenario first (subprocess, before this process grabs the TPU);
-    # the HEADLINE metric prints LAST so line-oriented parsers keep it.
-    df32_scenario()
-    main()
+    elapsed = main()
+    # leave the secondary whatever headroom remains of a ~10 min driver
+    # budget, bounded to [60, 300] s
+    df32_scenario(min(max(540.0 - elapsed, 60.0), 300.0))

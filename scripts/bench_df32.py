@@ -41,7 +41,8 @@ def bench_point(n_points: int, nh: int, iters: int):
     f64 = jnp.float64
     ns, na = 3, 1
     d = ns + na
-    bucket = bucket_size(n_points + iters + 1)
+    n_extra = iters + 1 + max(iters // 2, 1)  # pipelined + blocked loops
+    bucket = bucket_size(n_points + n_extra)
     rng = np.random.default_rng(0)
 
     reward_spec = RewardSpec(
@@ -79,8 +80,8 @@ def bench_point(n_points: int, nh: int, iters: int):
     x[:n_points] = rng.uniform(0, 1, (n_points, d))
     y[:n_points] = rng.normal(0, 0.02, (n_points, ns))
     mask[:n_points] = True
-    extra_x = rng.uniform(0, 1, (iters + 1, d))
-    extra_y = rng.normal(0, 0.02, (iters + 1, ns))
+    extra_x = rng.uniform(0, 1, (n_extra, d))
+    extra_y = rng.normal(0, 0.02, (n_extra, ns))
 
     state_mu = jnp.asarray(rng.uniform(0, 1, ns), dtype=f32)
     state_var = jnp.eye(ns, dtype=f32) * 1e-6
@@ -94,18 +95,30 @@ def bench_point(n_points: int, nh: int, iters: int):
         x[n], y[n], mask[n] = extra_x[i], extra_y[i], True
         return planner.plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, i)
 
-    out = planner.plan(x, y, mask, params, bounds, state_mu, state_var, inits, action_prev, 0)
-    jax.block_until_ready(out)
+    # warm/compile exactly the two programs the timed loops use (factorize +
+    # fused extend+plan); the full-refactorize plan program would double the
+    # cold Mosaic compile time for nothing
     t_c0 = time.perf_counter()
+    planner.refresh_cache(x, y, mask, params, bounds)
     out = step(0)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t_c0
 
+    # pipelined: dispatch all iters, block once — amortized device time/step
     t0 = time.perf_counter()
     for i in range(1, iters + 1):
         out = step(i)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
+
+    # blocked: block_until_ready every step — the true action latency an MPC
+    # controller pays before it can step the env (VERDICT r3 item 2)
+    half = max(iters // 2, 1)
+    t0 = time.perf_counter()
+    for i in range(iters + 1, iters + 1 + half):
+        out = step(i)
+        jax.block_until_ready(out)
+    dt_blocked = (time.perf_counter() - t0) / half
 
     # sanity: the df32 objective must be finite and the actions in-bounds
     a_opt = np.asarray(out[0])
@@ -118,6 +131,8 @@ def bench_point(n_points: int, nh: int, iters: int):
         "horizon": nh,
         "planning_steps_per_sec": round(1.0 / dt, 2),
         "plan_ms": round(dt * 1e3, 2),
+        "blocked_plan_ms": round(dt_blocked * 1e3, 2),
+        "blocked_steps_per_sec": round(1.0 / dt_blocked, 2),
         "compile_s": round(compile_s, 1),
     }
 
@@ -126,7 +141,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--points", nargs="*", default=["300:15"], help="n_points:horizon pairs")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="force the XLA df cov core (bounded Mosaic-free "
+                        "compile; used by bench.py's time-bounded secondary)")
     args = p.parse_args()
+
+    import contextlib
 
     import jax
 
@@ -134,9 +154,17 @@ def main():
                       os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    for spec_str in args.points:
-        n_str, nh_str = spec_str.split(":")
-        print(json.dumps(bench_point(int(n_str), int(nh_str), args.iters)), flush=True)
+    if args.no_pallas:
+        from gpmpc_tpu.ops import disable_pallas
+        ctx = disable_pallas()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        for spec_str in args.points:
+            n_str, nh_str = spec_str.split(":")
+            rec = bench_point(int(n_str), int(nh_str), args.iters)
+            rec["pallas"] = not args.no_pallas
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
