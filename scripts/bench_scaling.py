@@ -99,6 +99,19 @@ def bench_point(n_points: int, nh: int, iters: int):
     _jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
+    # per-step blocked latency: block_until_ready after every step — the
+    # action latency an MPC controller actually pays (PERFORMANCE.md item
+    # 12: pipelined-only loops can measure the tunnel dispatch floor)
+    half = max(iters // 2, 1)
+    mask[n_points:] = False
+    planner.refresh_cache(x, y, mask, params, bounds)
+    _jax.block_until_ready(step(0))
+    t0 = time.perf_counter()
+    for i in range(1, half + 1):
+        out = step(i)
+        _jax.block_until_ready(out)
+    dt_blocked = (time.perf_counter() - t0) / half
+
     # full-refactorize latency for comparison (what the reference pays per step)
     planner.invalidate_cache()
     t0 = time.perf_counter()
@@ -111,6 +124,8 @@ def bench_point(n_points: int, nh: int, iters: int):
         "bucket": bucket,
         "horizon": nh,
         "planning_steps_per_sec": round(1.0 / dt, 2),
+        "blocked_plan_ms": round(dt_blocked * 1e3, 2),
+        "blocked_steps_per_sec": round(1.0 / dt_blocked, 2),
         "full_refactorize_step_s": round(dt_full, 5),
     }
 
