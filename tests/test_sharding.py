@@ -15,6 +15,7 @@ def test_dryrun_training_step_8_devices():
 
 
 @requires_8
+@pytest.mark.slow  # divisibility variant; the 8-device test is the driver contract
 def test_dryrun_training_step_2_devices():
     from gpmpc_tpu.parallel.sharding import dryrun_training_step
 
@@ -23,6 +24,9 @@ def test_dryrun_training_step_2_devices():
 
 @requires_8
 def test_graft_entry_contract():
+    """entry() compile contract only: dryrun_multichip(8) is the same code
+    path as test_dryrun_training_step_8_devices (modulo env-var plumbing),
+    and running it twice cost the fast suite ~4 min for no coverage."""
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -32,8 +36,6 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     cost = out[0]
     assert np.isfinite(float(cost))
-
-    ge.dryrun_multichip(8)
 
 
 @requires_8
