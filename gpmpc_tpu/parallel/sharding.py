@@ -191,7 +191,7 @@ def make_shardmapped_df_cov_core(mesh: Mesh, axis: str = "n", use_pallas: bool |
     """
     from ..ops import df_cov_core_xla
     from ..ops.df32 import df_add
-    from ..ops.pallas_df_cov import df_cov_core_pallas, supported
+    from ..ops.pallas_df_cov import df_cov_core_pallas, supported_rect
 
     n_dev = int(mesh.shape[axis])
 
@@ -210,13 +210,18 @@ def make_shardmapped_df_cov_core(mesh: Mesh, axis: str = "n", use_pallas: bool |
         n = ah.shape[1]
         n_loc = n // n_dev
         n_loc_pad = ((n_loc + 127) // 128) * 128
+        n_pad = ((n + 127) // 128) * 128
         pallas = use_pallas
         if pallas is None:
+            # rectangular gate: the LOCAL shard is the kernel's row extent
+            # while the column operands stay full-length (the square-only
+            # gate here used to misroute rectangular shards into a kernel
+            # that derived both extents from the rows — ADVICE r4 high)
             pallas = (
                 ah.dtype == jnp.float32
                 and jax.default_backend() not in ("cpu",)
-                and n_loc > 128
-                and supported(n_loc_pad, uh.shape[-1])
+                and n_loc >= 128
+                and supported_rect(n_loc_pad, n_pad, uh.shape[-1])
             )
 
         def local(ah_, al_, ch_, cl_, uh_, ul_, xjh_, xjl_,

@@ -64,9 +64,13 @@ def main():
     x[:n_points] = rng.uniform(0, 1, (n_points, d))
     y[:n_points] = rng.normal(0, 0.02, (n_points, ns))
     mask[:n_points] = True
-    cache64 = masked_cholesky_factorize(
+    # jit both prep stages: eagerly they are hundreds of per-op tunnel
+    # round-trips (~26 ms each on this host) — measured minutes of startup
+    print(json.dumps({"phase": "factorize"}), flush=True)
+    cache64 = jax.jit(masked_cholesky_factorize)(
         params, bounds, jnp.asarray(x, f64), jnp.asarray(y, f64), jnp.asarray(mask))
-    dfc = split_cache_df(cache64)
+    dfc = jax.jit(split_cache_df)(cache64)
+    jax.block_until_ready(dfc)
 
     mu = jnp.asarray([0.55, 0.48, 0.52, 0.5], f32)
     var = jnp.zeros((d, d), f32).at[:ns, :ns].set(jnp.eye(ns, dtype=f32) * 1e-4)

@@ -225,3 +225,215 @@ def test_dispatch_cpu_uses_xla():
     np.testing.assert_allclose(
         _collapse(out_auto[0], out_auto[1]), _collapse(out_x[0], out_x[1]),
         rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# call-layer emulation: padding, BlockSpec index maps, grids, role swaps
+# ---------------------------------------------------------------------------
+
+
+class _BlockRef:
+    """Minimal pallas Ref stand-in over a sliced block (read) or a deferred
+    write record (the kernels write each output block exactly once)."""
+
+    def __init__(self, block=None):
+        self.block = block
+        self.written = None  # (local_index, value)
+
+    def __getitem__(self, idx):
+        return self.block[idx]
+
+    def __setitem__(self, idx, value):
+        assert self.written is None, "kernel wrote an output block twice"
+        self.written = (idx, value)
+
+
+def _emulating_pallas_call(kernel, *, grid, in_specs, out_specs, out_shape,
+                           interpret=False, **_kw):
+    """pallas_call replacement: runs the kernel body EAGERLY per grid cell
+    (see module docstring for why not interpret/jit) with real BlockSpec
+    index maps and block shapes, assembling outputs with .at[].set — fully
+    traceable, so custom-VJP gradients flow through the emulated launches.
+    Validates everything except the Mosaic lowering itself (which
+    scripts/check_df_cov.py covers on real TPU)."""
+    import itertools
+
+    single = not isinstance(out_shape, (list, tuple))
+    oshapes = [out_shape] if single else list(out_shape)
+    ospecs = [out_specs] if single else list(out_specs)
+
+    def call(*arrays):
+        outs = [jnp.zeros(s.shape, s.dtype) for s in oshapes]
+        for cell in itertools.product(*[range(int(g)) for g in grid]):
+            ins = []
+            for a, spec in zip(arrays, in_specs):
+                start = [int(v) for v in spec.index_map(*cell)]
+                sl = tuple(slice(s * b, (s + 1) * b)
+                           for s, b in zip(start, spec.block_shape))
+                ins.append(_BlockRef(a[sl]))
+            orefs = [_BlockRef() for _ in outs]
+            kernel(*ins, *orefs)
+            for k, (o, spec, ref) in enumerate(zip(outs, ospecs, orefs)):
+                start = [int(v) for v in spec.index_map(*cell)]
+                sl = tuple(slice(s * b, (s + 1) * b)
+                           for s, b in zip(start, spec.block_shape))
+                idx, val = ref.written
+                block = jnp.zeros(spec.block_shape, o.dtype).at[idx].set(val)
+                outs[k] = o.at[sl].set(block)
+        return outs[0] if single else outs
+
+    return call
+
+
+def _rect_inputs(n_rows, n_cols, ns=3, seed=4, scale_beta=1e3):
+    """Rectangular (shard-mapped multi-chip) operand layout: row operands
+    length n_rows, column operands length n_cols, iK (Ns, n_rows, n_cols)
+    deliberately NOT symmetric — the role-swapped col-side backward must
+    transpose it explicitly."""
+    rng = np.random.default_rng(seed)
+    ii, jj = np.triu_indices(ns)
+    p = len(ii)
+    diag_pos = tuple(int(q) for q in np.where(ii == jj)[0])
+
+    def df(x):
+        return split_f64(jnp.asarray(x, jnp.float64))
+
+    a = -np.abs(rng.normal(2.0, 1.5, (p, n_rows))) * 3.0
+    c = -np.abs(rng.normal(2.0, 1.5, (p, n_cols))) * 3.0
+    u = rng.normal(0.0, 0.4, (p, n_rows, ns))
+    xj = rng.normal(0.0, 0.4, (p, n_cols, ns))
+    bi = rng.normal(0.0, scale_beta, (p, n_rows))
+    bj = rng.normal(0.0, scale_beta, (p, n_cols))
+    ik = rng.normal(0.0, 30.0, (ns, n_rows, n_cols))
+    ops = [df(v) for v in (a, c, u, xj, bi, bj, ik)]
+    flat = [comp for pair in ops for comp in pair]
+    return flat, diag_pos, p, ns
+
+
+def test_rect_call_layer_matches_xla():
+    """ADVICE r4 high: df_cov_core_pallas with RECTANGULAR operands (the
+    shard-mapped layout: local row shard x full columns, non-symmetric iK)
+    must match the XLA twin for values AND custom-VJP gradients. Exercises
+    the real padding / BlockSpecs / grids / two-launch role-swapped backward
+    through the emulated pallas_call (rows 96 -> pad 128, cols 256: uneven
+    row pad + multi-chunk lane reduce)."""
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from gpmpc_tpu.ops import pallas_df_cov as pdc
+
+    n_rows, n_cols = 96, 256
+    flat, diag_pos, p, ns = _rect_inputs(n_rows, n_cols)
+    w = jnp.arange(1.0, p + 1, dtype=f32)
+    wc = jnp.arange(1.0, ns + 1, dtype=f32) * 0.7
+
+    def loss(core, ah_, ch_, uh_, xjh_):
+        args = list(flat)
+        args[0], args[2], args[4], args[6] = ah_, ch_, uh_, xjh_
+        sh, sl, co_h, co_l = core(*args, diag_pos)
+        return jnp.sum(w * (sh + sl)) + jnp.sum(wc * (co_h + co_l))
+
+    args4 = (flat[0], flat[2], flat[4], flat[6])
+    ref_v = loss(df_cov_core_xla, *args4)
+    ref_g = jax.grad(lambda *t: loss(df_cov_core_xla, *t), argnums=(0, 1, 2, 3))(*args4)
+
+    pdc._make_core.cache_clear()
+    pdc._build_fwd.cache_clear()
+    pdc._build_bwd.cache_clear()
+    with mock.patch.object(pl, "pallas_call", _emulating_pallas_call):
+        got_v = loss(pdc.df_cov_core_pallas, *args4)
+        got_g = jax.grad(lambda *t: loss(pdc.df_cov_core_pallas, *t),
+                         argnums=(0, 1, 2, 3))(*args4)
+    pdc._make_core.cache_clear()
+    pdc._build_fwd.cache_clear()
+    pdc._build_bwd.cache_clear()
+
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-7)
+    for gg, gr, name in zip(got_g, ref_g, ("a", "c", "U", "Xj")):
+        gr = np.asarray(gr)
+        scale = np.max(np.abs(gr)) + 1e-30
+        np.testing.assert_allclose(np.asarray(gg), gr, rtol=0, atol=3e-6 * scale,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+def test_shardmapped_pallas_branch_shapes_and_values():
+    """The pallas=True branch of make_shardmapped_df_cov_core on a 2-device
+    CPU mesh (ADVICE r4 high — this branch previously misrouted rectangular
+    shards into a square kernel that derived BOTH extents from the rows):
+
+    * the kernel entry point must receive RECTANGULAR local operands —
+      row operands of length n_loc = N / n_dev, column operands full-length,
+      iK (Ns, n_loc, N) — and the supported_rect gate must accept them;
+    * end-to-end values and gradients through shard_map's transpose rules
+      must match the replicated XLA twin.
+
+    The kernel entry point is mocked to record shapes and delegate to the
+    XLA core (running the real Mosaic body per shard via the emulating
+    pallas_call takes ~10 min under eager shard_map on this host — the
+    rectangular KERNEL math itself, padding and the role-swapped two-launch
+    backward included, is pinned by test_rect_call_layer_matches_xla above,
+    and the on-chip lowering by scripts/check_df_cov.py ROWSxCOLS /
+    --shardmap)."""
+    from unittest import mock
+
+    import pytest
+
+    from gpmpc_tpu.ops import pallas_df_cov as pdc
+    from gpmpc_tpu.parallel.sharding import make_mesh, make_shardmapped_df_cov_core
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+
+    ns, n = 2, 256
+    flat, diag_pos, p, _ = _rect_inputs(n, n, ns=ns, seed=9)
+    # the shard-mapped core takes square GLOBAL operands; make iK symmetric
+    # as the real factorization cache's is
+    ikh64 = np.asarray(flat[12], np.float64) + np.asarray(flat[13], np.float64)
+    ik_sym = (ikh64 + np.swapaxes(ikh64, 1, 2)) / 2.0
+    flat[12], flat[13] = split_f64(jnp.asarray(ik_sym, jnp.float64))
+
+    w = jnp.arange(1.0, p + 1, dtype=f32)
+    wc = jnp.arange(1.0, ns + 1, dtype=f32) * 0.7
+
+    def loss(core, ah_, ch_, uh_, xjh_):
+        args = list(flat)
+        args[0], args[2], args[4], args[6] = ah_, ch_, uh_, xjh_
+        sh, sl, co_h, co_l = core(*args, diag_pos)
+        return jnp.sum(w * (sh + sl)) + jnp.sum(wc * (co_h + co_l))
+
+    args4 = (flat[0], flat[2], flat[4], flat[6])
+    ref_v = loss(df_cov_core_xla, *args4)
+
+    seen_shapes = []
+
+    def fake_pallas_core(ah, al, ch, cl, uh, ul, xjh, xjl, bih, bil,
+                         bjh, bjl, ikh, ikl, dpos):
+        seen_shapes.append((ah.shape, ch.shape, ikh.shape))
+        # the real entry point asserts this gate after padding; assert it
+        # here on the raw local shapes the shard_map hands over
+        r_pad = ((ah.shape[1] + 127) // 128) * 128
+        c_pad = ((ch.shape[1] + 127) // 128) * 128
+        assert pdc.supported_rect(r_pad, c_pad, uh.shape[-1]), (ah.shape, ch.shape)
+        return df_cov_core_xla(ah, al, ch, cl, uh, ul, xjh, xjl,
+                               bih, bil, bjh, bjl, ikh, ikl, dpos)
+
+    mesh = make_mesh(2, axis="n")
+    with mock.patch.object(pdc, "df_cov_core_pallas", fake_pallas_core), mesh:
+        core = make_shardmapped_df_cov_core(mesh, axis="n", use_pallas=True)
+        got_v = loss(core, *args4)
+
+    assert seen_shapes, "pallas branch was not taken"
+    n_loc = n // 2
+    for a_shape, c_shape, ik_shape in seen_shapes:
+        assert a_shape == (p, n_loc), a_shape  # local row shard
+        assert c_shape == (p, n), c_shape  # full-length columns
+        assert ik_shape == (ns, n_loc, n), ik_shape  # rectangular iK shard
+
+    # gradients through shard_map's transpose rules are covered by
+    # tests/test_sharding.py::test_shardmapped_df_cov_core_matches_replicated
+    # (same wrapper, use_pallas=False at N=64) and the kernel-side grads by
+    # test_rect_call_layer_matches_xla — re-running the eager backward here
+    # at N=256 costs ~8 min on this host for no new coverage
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-7)
