@@ -72,6 +72,31 @@ def _reprint_headline():
         print(json.dumps(_HEADLINE), flush=True)
 
 
+_CACHE_HITS: list = []
+_CACHE_MISSES: list = []
+
+
+def _instrument_persistent_cache():
+    """Count persistent-cache hits/misses per module (VERDICT r4 item 4:
+    attribute the 50-367 s compile_s spread to tunnel weather vs silent
+    cache-key drift). jax's own hit/miss logging funnels through these two
+    module-level functions; wrapping them records the module names."""
+    from jax._src import compiler as _jc
+
+    orig_hit, orig_miss = _jc.log_persistent_cache_hit, _jc.log_persistent_cache_miss
+
+    def hit(module_name, cache_key):
+        _CACHE_HITS.append(module_name)
+        orig_hit(module_name, cache_key)
+
+    def miss(module_name, cache_key):
+        _CACHE_MISSES.append(module_name)
+        orig_miss(module_name, cache_key)
+
+    _jc.log_persistent_cache_hit = hit
+    _jc.log_persistent_cache_miss = miss
+
+
 def main():
     t_start = time.perf_counter()
     # headline fast-math mode: pure f32 (TPU-native), benign conditioning
@@ -82,6 +107,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(_ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _instrument_persistent_cache()
     import jax.numpy as jnp
 
     from gpmpc_tpu.controllers.planner import Planner, PlanSpec
@@ -188,11 +214,17 @@ def main():
     # Best of 3 passes: the remote-tunnel dispatch floor has transient
     # stalls (one rehearsal recorded 102 steps/s with a 35 ms sync floor,
     # the rerun 185 with 27 ms) and the fastest pass is the one closest to
-    # pure device time; each pass costs < 1 s warm.
-    dt_pipe = min(run(blocked=False) for _ in range(3))
+    # pure device time; each pass costs < 1 s warm. The median is emitted
+    # alongside (VERDICT r4 item 5) so weather variance is visible in the
+    # artifact; the min-based headline keeps r01-r04 comparability.
+    passes = sorted(run(blocked=False) for _ in range(3))
+    dt_pipe = passes[0]
     steps_per_sec = 1.0 / dt_pipe
     _emit("planning_steps_per_sec", round(steps_per_sec, 2), "steps/s",
           round(steps_per_sec / 100.0, 3))
+    median_sps = 1.0 / passes[1]
+    _emit("planning_steps_per_sec_median", round(median_sps, 2), "steps/s",
+          round(median_sps / 100.0, 3))
 
     # per-step action latency (block every step) + the host-runtime sync
     # floor control so the blocked number is attributable
@@ -211,8 +243,12 @@ def main():
     # the repo COMMITS .jax_cache for exactly the bench programs, so a
     # driver run reloads executables instead of recompiling (the true
     # cold-compile numbers — 186 s headline, ~380 s Mosaic df32 — are in
-    # PERFORMANCE.md item 12); this metric reports whatever this run paid
-    _emit("compile_s", round(compile_s, 1), "s")
+    # PERFORMANCE.md item 12); this metric reports whatever this run paid.
+    # hit/miss counts attribute a slow warmup: all-hits = tunnel weather,
+    # any miss on a heavy program = cache-key drift to investigate
+    _emit("compile_s", round(compile_s, 1), "s",
+          cache_hits=len(_CACHE_HITS), cache_misses=len(_CACHE_MISSES),
+          miss_modules=sorted(set(_CACHE_MISSES))[:12])
     _reprint_headline()
     return time.perf_counter() - t_start
 
@@ -223,23 +259,30 @@ def df32_scenario(budget_s: float):
     Hard-bounded: a compile overrun degrades to an error line, never eats
     the round's artifact (VERDICT r3 item 1). Runs the production Pallas
     row-tiled path: its Mosaic executables RELOAD from the committed
-    persistent cache (.jax_cache) in seconds, whereas the --no-pallas XLA
-    df program's wall time is remote-tunnel compile round-trips the cache
-    cannot absorb (measured 693+ s every run — PERFORMANCE.md item 12).
-    Cold-cache worst case (~380 s Mosaic compile) still degrades to the
-    error line below rather than eating the headline, which printed first."""
+    persistent cache (.jax_cache) in seconds-to-minutes (tunnel weather),
+    whereas the --no-pallas XLA df program's wall time is remote-tunnel
+    compile round-trips the cache cannot absorb (693+ s — PERFORMANCE.md
+    item 12). The child is trimmed to its minimum (VERDICT r4 item 2):
+    blocked-only, 4 iters, and --skip-cold — a persistent-cache MISS on
+    any heavy program aborts within seconds with an explicit cold-skip
+    line instead of burning the budget on a 380-650 s Mosaic compile."""
     env = dict(os.environ, GPMPC_TPU_X64="1")
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(_ROOT, "scripts", "bench_df32.py"),
-             "--points", "300:15", "--iters", "10"],
+             "--points", "300:15", "--iters", "4", "--blocked-only",
+             "--skip-cold"],
             env=env, capture_output=True, text=True, timeout=budget_s, cwd=_ROOT,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         res = json.loads(line)
-        v = res["planning_steps_per_sec"]
+        if out.returncode == 3:  # explicit cold-skip from the child
+            _emit("df32_trained_gp_planning_steps_per_sec", None, "steps/s",
+                  error="cold-skip: " + str(res.get("error"))[:160])
+            return
+        v = res["blocked_steps_per_sec"]
         _emit("df32_trained_gp_planning_steps_per_sec", v, "steps/s",
-              round(v / 100.0, 3))
+              round(v / 100.0, 3), frame="blocked")
         _emit("df32_trained_gp_blocked_ms", res.get("blocked_plan_ms"), "ms")
     except Exception as e:  # never break the headline metric
         _emit("df32_trained_gp_planning_steps_per_sec", None, "steps/s",

@@ -138,6 +138,78 @@ def _line_search(
     return x_new, f_new, g_new, success, consumed
 
 
+def _line_search_grad_first(
+    fun: Callable,
+    vg: Callable,
+    x: jnp.ndarray,
+    f: jnp.ndarray,
+    g: jnp.ndarray,
+    direction: jnp.ndarray,
+    lower: Optional[jnp.ndarray],
+    upper: Optional[jnp.ndarray],
+    maxls: int,
+    step_scale: Optional[float] = None,
+):
+    """``_line_search`` restructured for the common case (single restart,
+    no vmap): one value_and_grad at the LARGEST candidate step, which with a
+    good L-BFGS direction Armijo-accepts nearly always — the remaining
+    maxls-1 backtracking candidates run only inside the reject branch of a
+    ``lax.cond``, which on TPU executes just the taken branch at runtime.
+
+    Profiled motivation (v5e, df32 N=384, PERFORMANCE.md): the batched
+    always-evaluate-all-maxls trial stage costs ~4x a single rollout per
+    iteration while the first candidate accepts on essentially every
+    planning step — the trials were the single largest share of the plan
+    (~300 of 576 ms, more than all the backwards combined). Accepted point,
+    Armijo test, and the sequential-equivalent ``consumed`` accounting are
+    IDENTICAL to ``_line_search`` (first accept == largest accepted step);
+    only the evaluation order changes. Under vmap (multi-restart) lax.cond
+    degrades to both-branches-execute, so the planner selects this path
+    only when restarts == 1 (controllers/planner._plan_from_cache).
+    """
+
+    def project(z):
+        if lower is None:
+            return z
+        return jnp.clip(z, lower, upper)
+
+    dtype = x.dtype
+    if step_scale is None:
+        steps = 0.5 ** jnp.arange(maxls, dtype=dtype)
+    else:
+        steps = step_scale * (2.0 ** jnp.arange(maxls - 1, -1, -1, dtype=dtype))
+
+    gx = jnp.dot(x, g)
+    x1 = project(x + steps[0] * direction)
+    f1, g1 = vg(x1)
+    acc1 = jnp.isfinite(f1) & (f1 <= f + _ARMIJO_C1 * (jnp.dot(x1, g) - gx)) & (f1 < f)
+
+    def hot(_):
+        return x1, f1, g1, jnp.asarray(True), jnp.asarray(1, jnp.int32)
+
+    def cold(_):
+        if maxls == 1:
+            return x, f, g, jnp.asarray(False), jnp.asarray(1, jnp.int32)
+        rest = steps[1:]
+        x_trials = jax.vmap(lambda s: project(x + s * direction))(rest)
+        f_trials = jax.vmap(fun)(x_trials)
+        decrease = x_trials @ g - gx
+        accept = jnp.isfinite(f_trials) & (f_trials <= f + _ARMIJO_C1 * decrease) & (f_trials < f)
+        success = jnp.any(accept)
+        first = jnp.argmax(accept)
+        idx = jnp.where(success, first, 0)
+        x_acc = jnp.where(success, x_trials[idx], x)
+        f_acc, g_acc = vg(x_acc)
+        x_new = jnp.where(success, x_acc, x)
+        f_new = jnp.where(success, f_acc, f)
+        g_new = jnp.where(success, g_acc, g)
+        # sequential-equivalent eval count: candidate 0 spent 1 already
+        consumed = jnp.where(success, first + 2, maxls).astype(jnp.int32)
+        return x_new, f_new, g_new, success, consumed
+
+    return lax.cond(acc1, hot, cold, operand=None)
+
+
 def _lbfgs_core(
     fun: Callable,
     x0: jnp.ndarray,
@@ -151,6 +223,7 @@ def _lbfgs_core(
     has_bounds: bool,
     maxfun: Optional[int] = None,
     init_step_scale: Optional[float] = None,
+    grad_first: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     vg_raw = jax.value_and_grad(fun)
 
@@ -189,23 +262,42 @@ def _lbfgs_core(
         evals=jnp.asarray(1, jnp.int32),  # SciPy counts the initial (f, g) eval
     )
 
-    def step_fn(state: _LbfgsState, _):
-        pg = proj_grad(state.x, state.g)
-        direction = -_two_loop(state, pg, maxcor)
-        # guard: if not a descent direction, fall back to steepest descent
-        descent = jnp.dot(direction, state.g) < 0
-        direction = jnp.where(descent, direction, -pg)
+    search = _line_search_grad_first if grad_first else _line_search
 
-        x_new, f_new, g_new, success, consumed = _line_search(
-            fun, vg, state.x, state.f, state.g, direction, lower if has_bounds else None,
-            upper if has_bounds else None, maxls, step_scale=init_step_scale,
-        )
+    def step_fn(state: _LbfgsState, _):
+        def do_search(_):
+            pg = proj_grad(state.x, state.g)
+            direction = -_two_loop(state, pg, maxcor)
+            # guard: if not a descent direction, fall back to steepest descent
+            descent = jnp.dot(direction, state.g) < 0
+            direction = jnp.where(descent, direction, -pg)
+
+            return search(
+                fun, vg, state.x, state.f, state.g, direction,
+                lower if has_bounds else None, upper if has_bounds else None,
+                maxls, step_scale=init_step_scale,
+            )
 
         # SciPy L-BFGS-B's `maxfun` total-evaluation budget (the reference
         # passes maxfun == maxiter in every example config, so it BINDS
         # before maxiter does): once the sequential-equivalent eval count
         # exceeds maxfun, further iterations leave the state untouched.
-        if maxfun is not None:
+        # On the grad_first (non-vmapped) path the whole iteration sits
+        # behind a lax.cond, so frozen trailing iterations cost ~nothing
+        # at runtime; under vmap cond degrades to both-branches, so the
+        # where-masking form is kept there.
+        if maxfun is not None and grad_first:
+            frozen = state.evals > maxfun
+
+            def skip(_):
+                return (state.x, state.f, state.g, jnp.asarray(False),
+                        jnp.asarray(0, jnp.int32))
+
+            x_new, f_new, g_new, success, consumed = lax.cond(
+                frozen, skip, do_search, operand=None)
+        else:
+            x_new, f_new, g_new, success, consumed = do_search(None)
+        if maxfun is not None and not grad_first:
             frozen = state.evals > maxfun
             x_new = jnp.where(frozen, state.x, x_new)
             f_new = jnp.where(frozen, state.f, f_new)
@@ -279,14 +371,18 @@ def lbfgs_b_minimize(
     maxls: int = 12,
     keep_best: bool = True,
     maxfun: Optional[int] = None,
+    grad_first: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Box-constrained L-BFGS (projected). Returns (x, f).
 
     ``maxfun`` is SciPy's total-objective-evaluation cap (reference
     gp_mpc_controller.py:133-139 forwards it in actions_optimizer_params);
     ``eps`` has no equivalent here because the reference passes jac=True,
-    which makes SciPy ignore eps as well (it is a finite-difference step)."""
+    which makes SciPy ignore eps as well (it is a finite-difference step).
+    ``grad_first`` selects the lax.cond line search (identical accepted
+    points; see _line_search_grad_first) — only valid OUTSIDE vmap."""
     return _lbfgs_core(
         fun, x0, lower, upper, int(maxiter), int(maxcor), int(maxls), None, bool(keep_best), True,
         maxfun=None if maxfun is None else int(maxfun),
+        grad_first=bool(grad_first),
     )

@@ -132,14 +132,27 @@ def _plan_from_cache(spec: PlanSpec, cache: FactorizationCache, state_mu, state_
     lower = jnp.zeros_like(inits[0])
     upper = jnp.ones_like(inits[0])
 
-    def one_restart(a0):
+    def one_restart(a0, grad_first=False):
         return lbfgs_b_minimize(
             objective, a0, lower, upper,
             maxiter=spec.maxiter, maxcor=spec.maxcor, maxls=spec.maxls, keep_best=True,
-            maxfun=spec.maxfun,
+            maxfun=spec.maxfun, grad_first=grad_first,
         )
 
-    xs, fs = jax.vmap(one_restart)(inits)  # (R, n), (R,)
+    import os as _os
+
+    _gf_mode = _os.environ.get("GPMPC_GRAD_FIRST", "1")
+    if inits.shape[0] == 1 and _gf_mode in ("1", "novmap"):
+        # single restart (the flagship/pendulum budget): skip the vmap so
+        # the line search can run grad-first behind a real lax.cond — one
+        # value_and_grad per iteration instead of maxls always-on trial
+        # rollouts (profiled as the largest share of the plan; under vmap
+        # cond degrades to both-branches-execute, so multi-restart keeps
+        # the batched-trials form)
+        x1, f1 = one_restart(inits[0], grad_first=_gf_mode == "1")
+        xs, fs = x1[None], f1[None]
+    else:
+        xs, fs = jax.vmap(one_restart)(inits)  # (R, n), (R,)
     # best restart; NaN objective falls back to the first restart
     # (reference gp_mpc_controller.py:146-148)
     fs_safe = jnp.where(jnp.isnan(fs), jnp.inf, fs)

@@ -25,7 +25,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["GPMPC_TPU_X64"] = "1"  # mixed mode: f64 master + df32 rollout
 
 
-def bench_point(n_points: int, nh: int, iters: int):
+class ColdCacheSkip(RuntimeError):
+    """Raised (under --skip-cold) when a heavy program misses the
+    persistent compilation cache — aborting within seconds beats burning a
+    380-650 s remote-tunnel Mosaic compile inside bench.py's budget
+    (VERDICT r4 item 2)."""
+
+
+_HEAVY_MODULES = ("jit_extend_plan", "jit_plan", "jit_masked_cholesky_factorize")
+
+
+def _install_skip_cold():
+    from jax._src import compiler as _jc
+
+    orig_miss = _jc.log_persistent_cache_miss
+
+    def miss(module_name, cache_key):
+        orig_miss(module_name, cache_key)
+        if module_name.startswith(_HEAVY_MODULES):
+            raise ColdCacheSkip(module_name)
+
+    _jc.log_persistent_cache_miss = miss
+
+
+def bench_point(n_points: int, nh: int, iters: int, blocked_only: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -104,18 +127,23 @@ def bench_point(n_points: int, nh: int, iters: int):
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t_c0
 
-    # pipelined: dispatch all iters, block once — amortized device time/step
-    t0 = time.perf_counter()
-    for i in range(1, iters + 1):
-        out = step(i)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = None
+    if not blocked_only:
+        # pipelined: dispatch all iters, block once — amortized device time/step
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            out = step(i)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
 
     # blocked: block_until_ready every step — the true action latency an MPC
-    # controller pays before it can step the env (VERDICT r3 item 2)
-    half = max(iters // 2, 1)
+    # controller pays before it can step the env (VERDICT r3 item 2).
+    # Indices continue consecutively from the last step taken so every
+    # timed call stays the fused extend+plan program (appended == 1).
+    half = iters if blocked_only else max(iters // 2, 1)
+    start = 1 if blocked_only else iters + 1
     t0 = time.perf_counter()
-    for i in range(iters + 1, iters + 1 + half):
+    for i in range(start, start + half):
         out = step(i)
         jax.block_until_ready(out)
     dt_blocked = (time.perf_counter() - t0) / half
@@ -129,8 +157,8 @@ def bench_point(n_points: int, nh: int, iters: int):
         "n_points": n_points,
         "bucket": bucket,
         "horizon": nh,
-        "planning_steps_per_sec": round(1.0 / dt, 2),
-        "plan_ms": round(dt * 1e3, 2),
+        "planning_steps_per_sec": None if dt is None else round(1.0 / dt, 2),
+        "plan_ms": None if dt is None else round(dt * 1e3, 2),
         "blocked_plan_ms": round(dt_blocked * 1e3, 2),
         "blocked_steps_per_sec": round(1.0 / dt_blocked, 2),
         "compile_s": round(compile_s, 1),
@@ -144,6 +172,13 @@ def main():
     p.add_argument("--no-pallas", action="store_true",
                    help="force the XLA df cov core (bounded Mosaic-free "
                         "compile; used by bench.py's time-bounded secondary)")
+    p.add_argument("--blocked-only", action="store_true",
+                   help="skip the pipelined pass (bench.py secondary: the "
+                        "honest df32 frame is per-step-blocked anyway)")
+    p.add_argument("--skip-cold", action="store_true",
+                   help="abort with rc=3 + a JSON error line if a heavy "
+                        "program misses the persistent cache instead of "
+                        "paying a 380-650 s tunnel Mosaic compile")
     args = p.parse_args()
 
     import contextlib
@@ -154,6 +189,9 @@ def main():
                       os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if args.skip_cold:
+        _install_skip_cold()
+
     if args.no_pallas:
         from gpmpc_tpu.ops import disable_pallas
         ctx = disable_pallas()
@@ -162,7 +200,13 @@ def main():
     with ctx:
         for spec_str in args.points:
             n_str, nh_str = spec_str.split(":")
-            rec = bench_point(int(n_str), int(nh_str), args.iters)
+            try:
+                rec = bench_point(int(n_str), int(nh_str), args.iters,
+                                  blocked_only=args.blocked_only)
+            except ColdCacheSkip as e:
+                print(json.dumps({"scenario": "df32_trained_gp",
+                                  "error": f"cold cache miss on {e}"}), flush=True)
+                sys.exit(3)
             rec["pallas"] = not args.no_pallas
             print(json.dumps(rec), flush=True)
 

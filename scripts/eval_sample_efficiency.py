@@ -31,7 +31,8 @@ os.environ.setdefault("GPMPC_TPU_X64", "0")
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--env", default="pendulum", choices=["pendulum", "mountain_car"])
+    p.add_argument("--env", default="pendulum",
+                   choices=["pendulum", "mountain_car", "process_control"])
     p.add_argument("--seeds", type=int, default=10)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--threshold", type=float, default=None)
@@ -47,7 +48,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from gpmpc_tpu.envs.jax_dynamics import mountain_car_spec, pendulum_spec
+    from gpmpc_tpu.envs.jax_dynamics import (
+        mountain_car_spec,
+        pendulum_spec,
+        process_control_spec,
+    )
     from gpmpc_tpu.runner import episode_spec_from_config, run_episodes_batch
 
     fdt = jnp.float64 if args.dtype == "float64" else jnp.float32
@@ -59,7 +64,7 @@ def main():
         steps = args.steps or 150
         warmup = 10
         threshold = args.threshold if args.threshold is not None else 0.05
-    else:
+    elif args.env == "mountain_car":
         from config_mountaincar import get_config
 
         cfg = get_config(num_repeat_actions=5)
@@ -67,6 +72,18 @@ def main():
         steps = args.steps or 500
         warmup = 20
         threshold = args.threshold if args.threshold is not None else 0.12
+    else:
+        # same settings as the host-path baseline row (RESULTS.md /
+        # scripts/reproduce_baselines.py workload_process_control)
+        sys.path.insert(0, os.path.join(ROOT, "examples", "process_control"))
+        from config_process_control import get_config
+
+        cfg = get_config(len_horizon=5, include_time_model=False,
+                         num_repeat_actions=5)
+        env = process_control_spec(dtype=fdt)
+        steps = args.steps or 500
+        warmup = 100
+        threshold = args.threshold if args.threshold is not None else 0.05
 
     cfg.dtype = args.dtype
     spec, params0 = episode_spec_from_config(env, cfg, num_steps=steps, warmup=warmup)

@@ -188,3 +188,40 @@ def test_mpc_objective_parity_with_scipy():
     improvement_ref = f0 - float(ref.fun)
     improvement_ours = f0 - float(f_ours)
     assert improvement_ours > 0.9 * improvement_ref
+
+
+def test_grad_first_matches_batched_line_search():
+    """The grad-first (lax.cond) line search must select the SAME accepted
+    points as the batched always-evaluate-all form — it only reorders the
+    evaluations (one value_and_grad at the largest step, backtracking
+    trials behind the reject branch). Covers: easy descent (candidate 0
+    accepts every iteration), backtracking-required (Rosenbrock), active
+    bounds, and the maxfun freeze."""
+    n = 6
+    cases = [
+        (quad, jnp.full(n, 0.5), dict(maxiter=8, maxcor=4, maxls=4)),
+        (quad, jnp.zeros(n), dict(maxiter=8, maxcor=4, maxls=4, maxfun=4)),
+        (rosenbrock, jnp.zeros(n), dict(maxiter=25, maxcor=6, maxls=6)),
+        (lambda x: jnp.sum((x - 2.0) ** 2), jnp.full(n, 0.25),
+         dict(maxiter=10, maxcor=4, maxls=4)),
+    ]
+    for fun, x0, kw in cases:
+        x_b, f_b = lbfgs_b_minimize(fun, x0, jnp.zeros(n), jnp.ones(n),
+                                    grad_first=False, **kw)
+        x_g, f_g = lbfgs_b_minimize(fun, x0, jnp.zeros(n), jnp.ones(n),
+                                    grad_first=True, **kw)
+        np.testing.assert_allclose(np.asarray(x_g), np.asarray(x_b),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(float(f_g), float(f_b), rtol=0, atol=1e-12)
+
+
+def test_grad_first_under_jit_cond():
+    """grad_first path must be jittable (nested lax.cond) and still match."""
+    n = 5
+    run = jax.jit(lambda x0: lbfgs_b_minimize(
+        quad, x0, jnp.zeros(n), jnp.ones(n), maxiter=6, maxcor=4, maxls=4,
+        maxfun=6, grad_first=True))
+    x, f = run(jnp.full(n, 0.4))
+    x_b, f_b = lbfgs_b_minimize(quad, jnp.full(n, 0.4), jnp.zeros(n), jnp.ones(n),
+                                maxiter=6, maxcor=4, maxls=4, maxfun=6)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_b), atol=1e-12)
