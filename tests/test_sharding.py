@@ -8,6 +8,9 @@ requires_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual 
 
 
 @requires_8
+@pytest.mark.slow  # 218 s of pure compile on this host, and the driver runs
+# the SAME code path every round via __graft_entry__.dryrun_multichip(8)
+# (MULTICHIP_r*.json) — keeping it out of the fast suite loses no coverage
 def test_dryrun_training_step_8_devices():
     from gpmpc_tpu.parallel.sharding import dryrun_training_step
 
