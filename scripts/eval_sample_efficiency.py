@@ -39,6 +39,8 @@ def main():
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"],
                    help="float64 (parity; needs GPMPC_TPU_X64=1) solves reliably; "
                         "float32 degrades once training sharpens the GP (see PERFORMANCE.md)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="trace with Pallas dispatch disabled (XLA fallbacks)")
     args = p.parse_args()
 
     import jax
@@ -89,15 +91,21 @@ def main():
     spec, params0 = episode_spec_from_config(env, cfg, num_steps=steps, warmup=warmup)
     keys = jax.random.split(jax.random.PRNGKey(0), args.seeds)
 
-    t0 = time.perf_counter()
-    out = run_episodes_batch(spec, params0, keys)
-    jax.block_until_ready(out["cost"])
-    compile_and_run_s = time.perf_counter() - t0
+    import contextlib
 
-    t0 = time.perf_counter()
-    out = run_episodes_batch(spec, params0, keys)
-    jax.block_until_ready(out["cost"])
-    steady_run_s = time.perf_counter() - t0
+    from gpmpc_tpu.ops import disable_pallas
+
+    ctx = disable_pallas() if args.no_pallas else contextlib.nullcontext()
+    with ctx:
+        t0 = time.perf_counter()
+        out = run_episodes_batch(spec, params0, keys)
+        jax.block_until_ready(out["cost"])
+        compile_and_run_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = run_episodes_batch(spec, params0, keys)
+        jax.block_until_ready(out["cost"])
+        steady_run_s = time.perf_counter() - t0
 
     costs = np.asarray(out["cost"])  # (seeds, steps)
     mean = costs.mean(axis=0)
