@@ -447,7 +447,16 @@ def build_episode_fn(spec: EpisodeSpec):
     return jax.jit(episode)
 
 
-def run_episodes_batch(spec: EpisodeSpec, params0: GPParams, keys):
-    """vmap the episode over seeds — the TPU-native run_env_multiple."""
+def build_episodes_batch_fn(spec: EpisodeSpec):
+    """Jitted fn(keys, params0): the episode vmapped over seeds — the
+    TPU-native run_env_multiple. Build ONCE and reuse: each build returns a
+    fresh jit wrapper, so calling through a new build retraces the whole
+    episode program (L-BFGS + rollout VJPs — tens of seconds of host time)
+    even when the executable reloads from the compilation cache."""
     fn = build_episode_fn(spec)
-    return jax.vmap(fn, in_axes=(0, None))(keys, params0)
+    return jax.jit(jax.vmap(fn, in_axes=(0, None)))
+
+
+def run_episodes_batch(spec: EpisodeSpec, params0: GPParams, keys):
+    """One-shot convenience wrapper over build_episodes_batch_fn."""
+    return build_episodes_batch_fn(spec)(keys, params0)
