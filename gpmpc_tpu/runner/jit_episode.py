@@ -248,8 +248,10 @@ def episode_spec_from_config(
     return spec, params0
 
 
-def build_episode_fn(spec: EpisodeSpec):
-    """Returns jitted fn(key, params0) -> dict with per-step costs/states/actions."""
+def _build_episode_parts(spec: EpisodeSpec):
+    """Untraced building blocks: (init_carry, step). build_episode_fn scans
+    step over the whole episode in one program; build_episodes_batch_fn can
+    instead stitch bounded segments (steps_per_call)."""
     env = spec.env
     ns = len(env.obs_low)
     na = len(env.act_low)
@@ -416,13 +418,13 @@ def build_episode_fn(spec: EpisodeSpec):
         carry = (env_state2, obs_new, mem, params, a_raw, a_model0, prev_mpc2, have_prev2, pred_state2, pred_std2, key, train_base)
         return carry, out
 
-    def episode(key, params0: GPParams):
+    def init_carry(key, params0: GPParams):
         from ..controllers.controller import TRAIN_KEY_TAG
 
         k_init, k_scan, k_prev = jax.random.split(key, 3)
         env_state, obs = env.init_fn(k_init)
         mem = memory_init(spec.cap, d, ns, dtype)
-        carry = (
+        return (
             env_state,
             jnp.asarray(obs, dtype),
             mem,
@@ -438,25 +440,72 @@ def build_episode_fn(spec: EpisodeSpec):
             # _train_key so fold_in(base, t + 1) matches across paths
             jax.random.fold_in(key, TRAIN_KEY_TAG),
         )
+
+    return init_carry, step
+
+
+def _finalize_outs(outs, carry):
+    outs["final_params"] = carry[3]
+    outs["final_obs"] = carry[1]  # obs AFTER the last step
+    outs["final_mem"] = carry[2]  # full MemoryState (cross-path equivalence checks)
+    return outs
+
+
+def build_episode_fn(spec: EpisodeSpec):
+    """Returns jitted fn(key, params0) -> dict with per-step costs/states/actions."""
+    init_carry, step = _build_episode_parts(spec)
+
+    def episode(key, params0: GPParams):
+        carry = init_carry(key, params0)
         carry, outs = lax.scan(step, carry, jnp.arange(spec.num_steps, dtype=jnp.int32))
-        outs["final_params"] = carry[3]
-        outs["final_obs"] = carry[1]  # obs AFTER the last step
-        outs["final_mem"] = carry[2]  # full MemoryState (cross-path equivalence checks)
-        return outs
+        return _finalize_outs(outs, carry)
 
     return jax.jit(episode)
 
 
-def build_episodes_batch_fn(spec: EpisodeSpec):
-    """Jitted fn(keys, params0): the episode vmapped over seeds — the
-    TPU-native run_env_multiple. Build ONCE and reuse: each build returns a
-    fresh jit wrapper, so calling through a new build retraces the whole
-    episode program (L-BFGS + rollout VJPs — tens of seconds of host time)
-    even when the executable reloads from the compilation cache."""
-    fn = build_episode_fn(spec)
-    return jax.jit(jax.vmap(fn, in_axes=(0, None)))
+def build_episodes_batch_fn(spec: EpisodeSpec, steps_per_call: int | None = None):
+    """fn(keys, params0): the episode vmapped over seeds — the TPU-native
+    run_env_multiple. Build ONCE and reuse: each build returns a fresh jit
+    wrapper, so calling through a new build retraces the whole episode
+    program (L-BFGS + rollout VJPs — tens of seconds of host time) even
+    when the executable reloads from the compilation cache.
+
+    steps_per_call bounds the duration of each device dispatch by splitting
+    the episode scan into host-stitched segments (the carry never leaves the
+    device; each boundary costs one dispatch round-trip, ~26 ms on the
+    tunnel-attached host). Long single dispatches (minutes) have been
+    observed to trip remote-runtime execution limits ("TPU worker process
+    crashed or restarted" on a pure-XLA matmul scan of the same duration —
+    scripts/check_gram_vmap.py history); segmenting also deflakes long
+    batched sweeps. The scan math is identical — segment boundaries only
+    change XLA fusion boundaries, not operation order. Pick a divisor of
+    num_steps or pay one extra compile for the remainder segment."""
+    if steps_per_call is None or steps_per_call >= spec.num_steps:
+        fn = build_episode_fn(spec)
+        return jax.jit(jax.vmap(fn, in_axes=(0, None)))
+
+    init_carry, step = _build_episode_parts(spec)
+    init_b = jax.jit(jax.vmap(init_carry, in_axes=(0, None)))
+
+    def segment(carry, ts):
+        return lax.scan(step, carry, ts)
+
+    seg_b = jax.jit(jax.vmap(segment, in_axes=(0, None), out_axes=(0, 0)))
+
+    def run(keys, params0):
+        carry = init_b(keys, params0)
+        chunks = []
+        for s0 in range(0, spec.num_steps, steps_per_call):
+            ts = jnp.arange(s0, min(s0 + steps_per_call, spec.num_steps), dtype=jnp.int32)
+            carry, outs = seg_b(carry, ts)
+            chunks.append(outs)
+        outs = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=1), *chunks)
+        return _finalize_outs(outs, carry)
+
+    return run
 
 
-def run_episodes_batch(spec: EpisodeSpec, params0: GPParams, keys):
+def run_episodes_batch(spec: EpisodeSpec, params0: GPParams, keys,
+                       steps_per_call: int | None = None):
     """One-shot convenience wrapper over build_episodes_batch_fn."""
-    return build_episodes_batch_fn(spec)(keys, params0)
+    return build_episodes_batch_fn(spec, steps_per_call=steps_per_call)(keys, params0)

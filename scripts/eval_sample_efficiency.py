@@ -36,11 +36,20 @@ def main():
     p.add_argument("--seeds", type=int, default=10)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--threshold", type=float, default=None)
-    p.add_argument("--dtype", default="float32", choices=["float32", "float64"],
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "mixed"],
                    help="float64 (parity; needs GPMPC_TPU_X64=1) solves reliably; "
-                        "float32 degrades once training sharpens the GP (see PERFORMANCE.md)")
+                        "float32 degrades once training sharpens the GP (see "
+                        "PERFORMANCE.md); mixed = f64 master factorization + "
+                        "df32 rollout (the TPU production regime; needs "
+                        "GPMPC_TPU_X64=1)")
     p.add_argument("--no-pallas", action="store_true",
                    help="trace with Pallas dispatch disabled (XLA fallbacks)")
+    p.add_argument("--steps-per-call", type=int, default=None,
+                   help="bound each device dispatch to this many episode "
+                        "steps (host-stitched segments; carry stays on "
+                        "device) — long single dispatches can trip remote-"
+                        "runtime execution limits")
     args = p.parse_args()
 
     import jax
@@ -87,8 +96,15 @@ def main():
         warmup = 100
         threshold = args.threshold if args.threshold is not None else 0.05
 
-    cfg.dtype = args.dtype
-    spec, params0 = episode_spec_from_config(env, cfg, num_steps=steps, warmup=warmup)
+    mixed = args.dtype == "mixed"
+    if mixed:
+        assert jax.config.jax_enable_x64, "--dtype mixed needs GPMPC_TPU_X64=1"
+        # mixed = f64 env dynamics + f64 master factorization, df32 rollout
+        env = {"pendulum": pendulum_spec, "mountain_car": mountain_car_spec,
+               "process_control": process_control_spec}[args.env](dtype=jnp.float64)
+    cfg.dtype = "float32" if mixed else args.dtype
+    spec, params0 = episode_spec_from_config(env, cfg, num_steps=steps, warmup=warmup,
+                                             mixed_df32=mixed)
     keys = jax.random.split(jax.random.PRNGKey(0), args.seeds)
 
     import contextlib
@@ -100,7 +116,7 @@ def main():
         # build ONCE: a fresh build returns a new jit wrapper whose call
         # retraces the whole episode program (tens of seconds of host time),
         # which would masquerade as device time in the steady measurement
-        batch_fn = build_episodes_batch_fn(spec)
+        batch_fn = build_episodes_batch_fn(spec, steps_per_call=args.steps_per_call)
 
         t0 = time.perf_counter()
         out = batch_fn(keys, params0)

@@ -97,6 +97,17 @@ def test_fused_batch_over_seeds():
     # different seeds -> different trajectories
     assert not np.allclose(costs[0], costs[1])
 
+    # bounded-dispatch segmented execution (steps_per_call) stitches the
+    # same scan over host-dispatched chunks — same math, same results
+    seg = run_episodes_batch(spec, params0, keys, steps_per_call=5)
+    seg_costs = np.asarray(seg["cost"])
+    assert seg_costs.shape == (3, 12)
+    np.testing.assert_allclose(seg_costs, costs, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(seg["final_obs"]), np.asarray(out["final_obs"]),
+        rtol=5e-4, atol=5e-5,
+    )
+
 
 @pytest.mark.slow
 def test_fused_process_control_with_param_changes():
