@@ -48,23 +48,32 @@ class MemoryState(NamedTuple):
     """Fixed-capacity device-resident transition memory (see
     memory/buffer.py for the host twin and semantics provenance)."""
 
-    inputs: jnp.ndarray  # (cap, D)
+    inputs: jnp.ndarray  # (cap, D) raw per-step transitions
     states_next: jnp.ndarray  # (cap, Ns)
     flags: jnp.ndarray  # (cap,) storage-filter decisions
-    model_inputs: jnp.ndarray  # (cap, D)
-    model_targets: jnp.ndarray  # (cap, Ns)
+    model_inputs: jnp.ndarray  # (model_cap, D) materialized GP points
+    model_targets: jnp.ndarray  # (model_cap, Ns)
     len_mem: jnp.ndarray  # i32
     len_last: jnp.ndarray  # i32
     len_model: jnp.ndarray  # i32
 
 
-def memory_init(cap: int, d: int, ns: int, dtype) -> MemoryState:
+def memory_init(cap: int, d: int, ns: int, dtype,
+                model_cap: int | None = None) -> MemoryState:
+    """model_cap sizes the GP-point buffers independently of the raw
+    transition log: with action repeat k only every k-th raw row can become
+    a model point, so model_cap = cap // k + 1 (bucketed) bounds them
+    exactly. The (Ns, model_cap, model_cap) factorization/Gram work — the
+    episode's dominant compute and XLA:CPU's dominant compile cost — then
+    scales with the true point count, not the step count (a 500-step
+    action-repeat-5 episode needs model_cap 128, not 512)."""
+    mcap = cap if model_cap is None else model_cap
     return MemoryState(
         inputs=jnp.zeros((cap, d), dtype),
         states_next=jnp.zeros((cap, ns), dtype),
         flags=jnp.zeros((cap,), bool),
-        model_inputs=jnp.zeros((cap, d), dtype),
-        model_targets=jnp.zeros((cap, ns), dtype),
+        model_inputs=jnp.zeros((mcap, d), dtype),
+        model_targets=jnp.zeros((mcap, ns), dtype),
         len_mem=jnp.zeros((), jnp.int32),
         len_last=jnp.zeros((), jnp.int32),
         len_model=jnp.zeros((), jnp.int32),
@@ -93,8 +102,9 @@ def memory_prepare(mem: MemoryState, step_model: int, ns: int) -> MemoryState:
         & mem.flags
         & (idx + step_model - 1 < mem.len_mem)
     )
+    mcap = mem.model_inputs.shape[0]
     offs = jnp.cumsum(elig.astype(jnp.int32)) - 1
-    pos = jnp.where(elig, mem.len_model + offs, cap)  # cap = dropped
+    pos = jnp.where(elig, mem.len_model + offs, mcap)  # mcap = dropped
     tgt_idx = jnp.minimum(idx + step_model - 1, cap - 1)
     targets = mem.states_next[tgt_idx] - mem.inputs[:, :ns]
     return mem._replace(
@@ -106,11 +116,11 @@ def memory_prepare(mem: MemoryState, step_model: int, ns: int) -> MemoryState:
 
 
 def memory_active_mask(mem: MemoryState) -> jnp.ndarray:
-    cap = mem.inputs.shape[0]
+    mcap = mem.model_inputs.shape[0]
     # empty memory -> single dummy zero point (gp_memory.py:109-111);
     # model buffers are zero-initialized so row 0 is exactly that point.
     n = jnp.maximum(mem.len_model, 1)
-    return jnp.arange(cap, dtype=jnp.int32) < n
+    return jnp.arange(mcap, dtype=jnp.int32) < n
 
 
 class EpisodeSpec(NamedTuple):
@@ -145,6 +155,20 @@ class EpisodeSpec(NamedTuple):
     # where plain f32 breaks (PERFORMANCE.md precision boundary). Requires
     # jax_enable_x64 and dtype float32.
     mixed_df32: bool = False
+    # GP-point buffer capacity; None = cap. With action repeat k only every
+    # k-th raw row can materialize as a model point, so the exact bound
+    # cap // k + 1 (bucketed to 32) keeps the (Ns, model_cap, model_cap)
+    # factorization work sized to the point count, not the step count.
+    model_cap: int | None = None
+
+
+def _model_cap_for(cap: int, num_repeat_actions: int) -> int:
+    """Exact bucketed bound on materialized GP points: raw rows at indices
+    0, k, 2k, ... of a cap-row log -> cap // k + 1 candidates."""
+    if num_repeat_actions <= 1:
+        return cap
+    pts = cap // num_repeat_actions + 1
+    return min(cap, max(32, int(np.ceil(pts / 32.0)) * 32))
 
 
 def episode_spec_from_config(
@@ -240,6 +264,7 @@ def episode_spec_from_config(
         deterministic_inits=bool(deterministic_inits),
         restarts_train=max(1, int(tc.restarts_train)),
         mixed_df32=bool(mixed_df32),
+        model_cap=_model_cap_for(int(cap), int(config.controller.num_repeat_actions)),
     )
     if mixed_df32:
         assert dtype == jnp.float32 and jax.config.jax_enable_x64, (
@@ -423,7 +448,7 @@ def _build_episode_parts(spec: EpisodeSpec):
 
         k_init, k_scan, k_prev = jax.random.split(key, 3)
         env_state, obs = env.init_fn(k_init)
-        mem = memory_init(spec.cap, d, ns, dtype)
+        mem = memory_init(spec.cap, d, ns, dtype, model_cap=spec.model_cap)
         return (
             env_state,
             jnp.asarray(obs, dtype),
